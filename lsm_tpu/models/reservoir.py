@@ -1,0 +1,304 @@
+"""The LSM core: batched LIF reservoir simulation, TPU-native.
+
+Replaces the reference's external `snnpy.snn.SNN` simulator (driven at
+extract_lsm_features.py:76-89). The reference's per-sample Python loop
+(reset / set_input_spike_times / simulate / extract_features_from_spikes)
+becomes ONE jitted `lax.scan` over the 400 timesteps of a batched update:
+
+    v_t = (1 - leak) * v_{t-1} + s_{t-1} @ W_rec + x_t @ W_in
+    s_t = (v_t >= threshold) & not_refractory
+    reset + refractory clamp
+
+vmapped-by-construction over the utterance batch (the recurrent update is a
+(B, N) x (N, N) matmul -> MXU work), and sharded data-parallel over the mesh.
+Feature statistics (spike counts, spike-time moments, first/last spike, ISI
+moments, bursts, windowed-rate variance) are accumulated STREAMING inside the
+scan carry, so the (B, T, N) spike raster never materializes in HBM
+(SURVEY.md section 7.3).
+
+Behavioral contract vs. snnpy is statistical, not bitwise (SURVEY.md
+section 2.3): topology is a Watts-Strogatz small-world graph (k=200, p=0.1
+at reference defaults, extract_lsm_features.py:171-172), recurrent weights
+~ Normal(mean_weight, (|mean_weight| * sqrt(weight_variance))^2), acceptance
+is the diagnostics regime (edge of chaos) plus the end-to-end accuracy band.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsm_tpu.config import ReservoirConfig
+
+_ROUND = 128  # MXU/VPU lane alignment
+
+
+def _round_up(x: int, m: int = _ROUND) -> int:
+    return -(-x // m) * m
+
+
+def watts_strogatz_adjacency(n: int, k: int, p: float, rng: np.random.Generator) -> np.ndarray:
+    """Undirected Watts-Strogatz small-world adjacency (n, n) uint8.
+
+    Ring of n nodes each connected to its k nearest neighbors (k/2 per
+    side), each edge rewired with probability p (standard WS construction;
+    matches the reference's SMALL_WORLD_K/P parameterization at
+    extract_lsm_features.py:15-16 where beta = k/2 in the mean-field formula
+    is the per-side degree).
+    """
+    adj = np.zeros((n, n), dtype=bool)
+    half = k // 2
+    nodes = np.arange(n)
+    for j in range(1, half + 1):
+        targets = (nodes + j) % n
+        rewire = rng.random(n) < p
+        new_targets = rng.integers(0, n, size=n)
+        targets = np.where(rewire, new_targets, targets)
+        # Avoid self-loops from rewiring; redraw deterministically by offset.
+        self_loop = targets == nodes
+        targets = np.where(self_loop, (nodes + j + half) % n, targets)
+        adj[nodes, targets] = True
+        adj[targets, nodes] = True
+    np.fill_diagonal(adj, False)
+    return adj
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ReservoirParams:
+    """Device arrays for one reservoir instance (padded to lane multiples)."""
+
+    w_rec: jax.Array        # (N_pad, N_pad) f32; row=source, col=target
+    w_in: jax.Array         # (C_pad, N_pad) f32
+    leak: jax.Array         # (N_pad,) f32
+    # Static metadata
+    n_neurons: int = dataclasses.field(metadata=dict(static=True))
+    n_outputs: int = dataclasses.field(metadata=dict(static=True))
+    n_channels: int = dataclasses.field(metadata=dict(static=True))
+    threshold: float = dataclasses.field(metadata=dict(static=True))
+    refractory: int = dataclasses.field(metadata=dict(static=True))
+    burst_isi_max: int = dataclasses.field(metadata=dict(static=True))
+    n_rate_windows: int = dataclasses.field(metadata=dict(static=True))
+
+
+def init_reservoir(
+    cfg: ReservoirConfig, n_channels: int, mean_weight: Optional[float] = None
+) -> ReservoirParams:
+    """Build topology + weights host-side (deterministic in cfg.seed)."""
+    rng = np.random.default_rng(cfg.seed)
+    n, n_pad = cfg.num_neurons, _round_up(cfg.num_neurons)
+    c_pad = _round_up(n_channels)
+    mw = cfg.mean_weight if mean_weight is None else mean_weight
+
+    adj = watts_strogatz_adjacency(n, cfg.small_world_k, cfg.small_world_p, rng)
+    std = abs(mw) * np.sqrt(cfg.weight_variance)
+    weights = rng.normal(mw, std, size=(n, n)) * adj
+    w_rec = np.zeros((n_pad, n_pad), dtype=np.float32)
+    w_rec[:n, :n] = weights
+
+    # Input projection [inferred; see config.ReservoirConfig docstring]:
+    # Bernoulli(input_density) mask, constant weight normalized so the mean
+    # drive per neuron per step is input_gain * (input spike density).
+    mask = rng.random((n_channels, n)) < cfg.input_density
+    w_val = cfg.input_gain / (cfg.input_density * n_channels)
+    w_in = np.zeros((c_pad, n_pad), dtype=np.float32)
+    w_in[:n_channels, :n] = mask.astype(np.float32) * w_val
+
+    if cfg.leak_variance_divisor:
+        leak_n = rng.normal(
+            cfg.leak_coefficient,
+            cfg.leak_coefficient / cfg.leak_variance_divisor,
+            size=n,
+        ).clip(0.0, 1.0)
+    else:
+        leak_n = np.full(n, cfg.leak_coefficient)
+    leak = np.zeros(n_pad, dtype=np.float32)
+    leak[:n] = leak_n
+
+    return ReservoirParams(
+        w_rec=jnp.asarray(w_rec),
+        w_in=jnp.asarray(w_in),
+        leak=jnp.asarray(leak),
+        n_neurons=n,
+        n_outputs=cfg.num_output_neurons,
+        n_channels=n_channels,
+        threshold=cfg.membrane_threshold,
+        refractory=cfg.refractory_period,
+        burst_isi_max=cfg.burst_isi_max,
+        n_rate_windows=cfg.n_rate_windows,
+    )
+
+
+def with_weights(params: ReservoirParams, cfg: ReservoirConfig, mean_weight: float) -> ReservoirParams:
+    """Re-init with a calibrated mean weight (same seed => same topology)."""
+    return init_reservoir(cfg, params.n_channels, mean_weight=mean_weight)
+
+
+def simulate_batch(
+    params: ReservoirParams,
+    spikes_in: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """Run the reservoir over a spike-train batch with streaming statistics.
+
+    Args:
+      params: reservoir parameters.
+      spikes_in: (B, C, T) uint8/bool input spike trains.
+    Returns:
+      dict of raw accumulators, each (B, n_outputs) float32 unless noted:
+        counts, sum_t, sum_t2, first (inf if silent), last (-1 if silent),
+        n_isi, sum_isi, sum_isi2, bursts, win_counts (B, n_outputs, n_win),
+        all_counts (B, n_neurons) — full-reservoir counts for diagnostics.
+    """
+    B, C, T = spikes_in.shape
+    n_pad = params.w_rec.shape[0]
+    no = params.n_outputs
+    n_win = params.n_rate_windows
+    win_len = max(1, T // n_win)
+
+    x = spikes_in.astype(compute_dtype)
+    if C != params.w_in.shape[0]:
+        x = jnp.pad(x, ((0, 0), (0, params.w_in.shape[0] - C), (0, 0)))
+    # Precompute nothing big: scan consumes (T, B, C_pad).
+    xs_t = jnp.moveaxis(x, -1, 0)
+
+    w_rec = params.w_rec.astype(compute_dtype)
+    w_in = params.w_in.astype(compute_dtype)
+    leak_keep = (1.0 - params.leak).astype(compute_dtype)
+    thr = params.threshold
+
+    def step(carry, inp):
+        x_t, t = inp
+        v, refrac, s_prev, st = carry
+
+        drive = (
+            jnp.dot(s_prev, w_rec, preferred_element_type=jnp.float32)
+            + jnp.dot(x_t, w_in, preferred_element_type=jnp.float32)
+        ).astype(compute_dtype)
+
+        active = refrac == 0
+        v_new = jnp.where(active, v * leak_keep + drive, 0.0)
+        spike = jnp.logical_and(v_new >= thr, active)
+        v_new = jnp.where(spike, 0.0, v_new)
+        refrac_new = jnp.where(spike, params.refractory, jnp.maximum(refrac - 1, 0))
+
+        s = spike.astype(compute_dtype)
+        so = spike[:, :no]                                   # output-neuron spikes
+        sof = so.astype(jnp.float32)
+        tf = t.astype(jnp.float32)
+
+        prev_t = st["prev_t"]
+        has_prev = prev_t >= 0.0
+        isi = tf - prev_t
+        isi_event = jnp.logical_and(so, has_prev)
+        isi_f = jnp.where(isi_event, isi, 0.0)
+
+        wi = t // win_len
+        win_onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_win), 2)
+            == jnp.minimum(wi, n_win - 1)
+        ).astype(jnp.float32)
+
+        new_st = dict(
+            counts=st["counts"] + sof,
+            sum_t=st["sum_t"] + sof * tf,
+            sum_t2=st["sum_t2"] + sof * tf * tf,
+            first=jnp.minimum(st["first"], jnp.where(so, tf, jnp.inf)),
+            last=jnp.maximum(st["last"], jnp.where(so, tf, -1.0)),
+            n_isi=st["n_isi"] + isi_event.astype(jnp.float32),
+            sum_isi=st["sum_isi"] + isi_f,
+            sum_isi2=st["sum_isi2"] + isi_f * isi_f,
+            bursts=st["bursts"]
+            + jnp.logical_and(isi_event, isi <= params.burst_isi_max).astype(
+                jnp.float32
+            ),
+            prev_t=jnp.where(so, tf, prev_t),
+            win_counts=st["win_counts"] + sof[:, :, None] * win_onehot,
+            all_counts=st["all_counts"] + spike.astype(jnp.float32),
+        )
+        return (v_new, refrac_new, s, new_st), None
+
+    z_out = jnp.zeros((B, no), jnp.float32)
+    init_stats = dict(
+        counts=z_out,
+        sum_t=z_out,
+        sum_t2=z_out,
+        first=jnp.full((B, no), jnp.inf, jnp.float32),
+        last=jnp.full((B, no), -1.0, jnp.float32),
+        n_isi=z_out,
+        sum_isi=z_out,
+        sum_isi2=z_out,
+        bursts=z_out,
+        prev_t=jnp.full((B, no), -1.0, jnp.float32),
+        win_counts=jnp.zeros((B, no, n_win), jnp.float32),
+        all_counts=jnp.zeros((B, n_pad), jnp.float32),
+    )
+    init = (
+        jnp.zeros((B, n_pad), compute_dtype),
+        jnp.zeros((B, n_pad), jnp.int32),
+        jnp.zeros((B, n_pad), compute_dtype),
+        init_stats,
+    )
+    ts = jnp.arange(T, dtype=jnp.int32)
+    (_, _, _, st), _ = jax.lax.scan(step, init, (xs_t, ts))
+    st = dict(st)
+    st.pop("prev_t")
+    st["all_counts"] = st["all_counts"][:, : params.n_neurons]
+    return st
+
+
+def features_from_stats(
+    stats: Dict[str, jnp.ndarray], feature_keys: Tuple[str, ...]
+) -> jnp.ndarray:
+    """Assemble the per-neuron feature vectors from streaming accumulators.
+
+    Matches the reference's post-processing (extract_lsm_features.py:83-87):
+    per-key vectors concatenated in feature-set order with NaN -> 0 for
+    silent neurons (np.nan_to_num semantics).
+    """
+    counts = stats["counts"]
+    fired = counts > 0
+    n_isi = stats["n_isi"]
+    has_isi = n_isi > 0
+
+    safe_counts = jnp.maximum(counts, 1.0)
+    safe_n_isi = jnp.maximum(n_isi, 1.0)
+    mean_isi = stats["sum_isi"] / safe_n_isi
+    win = stats["win_counts"]
+    win_mean = jnp.mean(win, axis=-1)
+    win_var = jnp.mean(win * win, axis=-1) - win_mean * win_mean
+
+    derived = {
+        "spike_counts": counts,
+        # Variance of the per-window spike counts (rate variability)
+        # [inferred definition; see config.ReservoirConfig].
+        "spike_variances": jnp.where(fired, jnp.maximum(win_var, 0.0), 0.0),
+        "mean_spike_times": jnp.where(fired, stats["sum_t"] / safe_counts, 0.0),
+        "first_spike_times": jnp.where(fired, stats["first"], 0.0),
+        "last_spike_times": jnp.where(fired, stats["last"], 0.0),
+        "mean_isi": jnp.where(has_isi, mean_isi, 0.0),
+        "isi_variances": jnp.where(
+            has_isi,
+            jnp.maximum(stats["sum_isi2"] / safe_n_isi - mean_isi * mean_isi, 0.0),
+            0.0,
+        ),
+        "burst_counts": stats["bursts"],
+    }
+    return jnp.concatenate([derived[k] for k in feature_keys], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("feature_keys", "compute_dtype"))
+def extract_features_batch(
+    params: ReservoirParams,
+    spikes_in: jnp.ndarray,
+    feature_keys: Tuple[str, ...],
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """spikes (B, C, T) -> features (B, len(keys) * n_outputs)."""
+    stats = simulate_batch(params, spikes_in, compute_dtype)
+    return features_from_stats(stats, feature_keys)

@@ -1,0 +1,265 @@
+"""Gammatone (ERB) filterbank spectrogram — "gtgram" — TPU-native.
+
+Reproduces the behavior of `gammatone.gtgram.gtgram(wave, fs, window_time,
+hop_time, channels, f_min)` as used by the reference (create_dataset.py:51-58):
+ERB-spaced center frequencies from f_min to fs/2, Patterson-Holdsworth
+4th-order gammatone filters realized as Slaney's cascade of four 2nd-order
+IIR sections per channel (Slaney 1993, Apple TR #35 — public algorithm),
+followed by sqrt(windowed mean energy) at the given window/hop. Channel 0 of
+the output is the LOWEST frequency (the pip package flips the descending ERB
+ordering before filtering).
+
+Two implementations:
+
+1. `gtgram_iir` (default, exact): coefficients are built in float64 NumPy at
+   trace time; on device a `lax.scan` walks the waveform in sub-blocks of
+   gcd(hop, window) samples, carrying only the (B, C, 4, 2) biquad state and
+   emitting per-sub-block energy sums — the full-rate filtered signal is
+   never materialized (O(B*C) working set instead of O(B*C*S)). Window
+   energies are then 5-tap sums of sub-block energies. Exact up to f32
+   accumulation, validated against a float64 NumPy oracle in tests.
+
+2. `gtgram_fft` (fast approximation): STFT power spectrum weighted by the
+   gammatone magnitude response — the same trick as the pip package's
+   `fft_gtgram`. Downstream min-max normalization absorbs absolute gain
+   differences (SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsm_tpu.ops.stft import frame_signal, hann_window
+
+_EAR_Q = 9.26449
+_MIN_BW = 24.7
+
+
+def erb_space(low_freq: float, high_freq: float, num: int) -> np.ndarray:
+    """ERB-spaced center frequencies, DESCENDING (Slaney's ErbSpace)."""
+    c = _EAR_Q * _MIN_BW
+    return -c + np.exp(
+        np.arange(1, num + 1)
+        * (-np.log(high_freq + c) + np.log(low_freq + c))
+        / num
+    ) * (high_freq + c)
+
+
+def centre_freqs(fs: float, num: int, f_min: float) -> np.ndarray:
+    """Ascending center freqs (pip gtgram flips to low->high channel order)."""
+    return erb_space(f_min, fs / 2.0, num)[::-1].copy()
+
+
+class ErbCoeffs(NamedTuple):
+    """Per-channel cascade coefficients, each shaped (C,).
+
+    Biquad k (k=0..3) has numerator [a0_k, a1_k, 0] and denominator
+    [1, b1, b2]; the first stage's numerator is divided by `gain`.
+    """
+
+    a0: np.ndarray          # = T (same all stages)
+    a1: np.ndarray          # (4, C): A11..A14
+    b1: np.ndarray
+    b2: np.ndarray
+    gain: np.ndarray
+
+
+@functools.lru_cache(maxsize=None)
+def make_erb_coeffs(fs: float, num_channels: int, f_min: float) -> ErbCoeffs:
+    """Slaney's MakeERBFilters in float64 (public formulas, Apple TR #35)."""
+    cf = centre_freqs(fs, num_channels, f_min).astype(np.float64)
+    T = 1.0 / fs
+    erb = ((cf / _EAR_Q) ** 1.0 + _MIN_BW**1.0) ** 1.0  # order = 1
+    B = 1.019 * 2.0 * np.pi * erb
+
+    arg = 2.0 * cf * np.pi * T
+    vec = np.exp(2j * arg)
+
+    A0 = T * np.ones_like(cf)
+    B1 = -2.0 * np.cos(arg) / np.exp(B * T)
+    B2 = np.exp(-2.0 * B * T)
+
+    rt_pos = np.sqrt(3.0 + 2.0**1.5)
+    rt_neg = np.sqrt(3.0 - 2.0**1.5)
+    common = -T * np.exp(-(B * T))
+
+    k11 = np.cos(arg) + rt_pos * np.sin(arg)
+    k12 = np.cos(arg) - rt_pos * np.sin(arg)
+    k13 = np.cos(arg) + rt_neg * np.sin(arg)
+    k14 = np.cos(arg) - rt_neg * np.sin(arg)
+
+    A11, A12, A13, A14 = (common * k for k in (k11, k12, k13, k14))
+
+    gain_arg = np.exp(1j * arg - B * T)
+    gain = np.abs(
+        (vec - gain_arg * k11)
+        * (vec - gain_arg * k12)
+        * (vec - gain_arg * k13)
+        * (vec - gain_arg * k14)
+        * (T * np.exp(B * T) / (-1.0 / np.exp(B * T) + 1.0 + vec * (1.0 - np.exp(B * T))))
+        ** 4
+    )
+
+    return ErbCoeffs(
+        a0=A0,
+        a1=np.stack([A11, A12, A13, A14]),
+        b1=B1,
+        b2=B2,
+        gain=gain,
+    )
+
+
+def erb_filterbank_np(wave: np.ndarray, coeffs: ErbCoeffs) -> np.ndarray:
+    """Float64 NumPy oracle: (S,) -> (C, S). Used for golden tests."""
+    from scipy.signal import lfilter
+
+    C = coeffs.b1.shape[0]
+    out = np.zeros((C, wave.shape[0]))
+    for c in range(C):
+        den = [1.0, coeffs.b1[c], coeffs.b2[c]]
+        y = lfilter(
+            [coeffs.a0[c] / coeffs.gain[c], coeffs.a1[0, c] / coeffs.gain[c], 0.0],
+            den, wave,
+        )
+        for k in range(1, 4):
+            y = lfilter([coeffs.a0[c], coeffs.a1[k, c], 0.0], den, y)
+        out[c] = y
+    return out
+
+
+def _round_half_away(x: float) -> int:
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+@functools.lru_cache(maxsize=None)
+def gtgram_strides(fs: float, window_time: float, hop_time: float, n_samples: int):
+    """Window/hop geometry exactly as the pip package computes it."""
+    nwin = _round_half_away(window_time * fs)
+    hop = _round_half_away(hop_time * fs)
+    n_cols = int(math.floor((n_samples - nwin) / hop)) + 1
+    return nwin, hop, n_cols
+
+
+def gtgram_iir(
+    wave: jnp.ndarray,
+    fs: float,
+    window_time: float,
+    hop_time: float,
+    channels: int,
+    f_min: float,
+) -> jnp.ndarray:
+    """Exact gammatone spectrogram. wave: (B, S) -> (B, C, n_cols).
+
+    The IIR cascade (transposed direct-form II) runs inside a lax.scan over
+    sub-blocks of g = gcd(hop, nwin) samples; each scan step advances g
+    samples with an unrolled inner loop and emits the sub-block energy sum
+    per (batch, channel). Window energies are then exact contiguous sums of
+    nwin/g sub-blocks.
+    """
+    B, S = wave.shape
+    nwin, hop, n_cols = gtgram_strides(fs, window_time, hop_time, S)
+    g = math.gcd(hop, nwin)
+    # Pad so S is a multiple of g (padding only affects windows past n_cols).
+    n_sub = -(-S // g)
+    pad = n_sub * g - S
+    if pad:
+        wave = jnp.pad(wave, ((0, 0), (0, pad)))
+
+    coeffs = make_erb_coeffs(fs, channels, f_min)
+    a0 = jnp.asarray(coeffs.a0, jnp.float32)                   # (C,)
+    a1 = jnp.asarray(coeffs.a1, jnp.float32)                   # (4, C)
+    b1 = jnp.asarray(coeffs.b1, jnp.float32)
+    b2 = jnp.asarray(coeffs.b2, jnp.float32)
+    inv_gain = jnp.asarray(1.0 / coeffs.gain, jnp.float32)
+
+    # Stage-0 numerator folds in 1/gain.
+    n0 = jnp.stack([a0 * inv_gain, a0, a0, a0])                # (4, C)
+    n1 = jnp.stack([a1[0] * inv_gain, a1[1], a1[2], a1[3]])    # (4, C)
+
+    # (n_sub, g, B): scan-major layout.
+    blocks = wave.reshape(B, n_sub, g).transpose(1, 2, 0)
+
+    def biquad_chain(x, state):
+        """One sample through 4 cascaded biquads. x: (B, C); state: (B, C, 4, 2)."""
+        new_s = []
+        for k in range(4):
+            s1 = state[..., k, 0]
+            s2 = state[..., k, 1]
+            y = n0[k] * x + s1
+            s1n = n1[k] * x - b1 * y + s2
+            s2n = -b2 * y
+            new_s.append(jnp.stack([s1n, s2n], axis=-1))
+            x = y
+        return x, jnp.stack(new_s, axis=-2)
+
+    def step(state, block):
+        energy = jnp.zeros((B, channels), jnp.float32)
+        for i in range(g):
+            x = jnp.broadcast_to(block[i][:, None], (B, channels))
+            y, state = biquad_chain(x, state)
+            energy = energy + y * y
+        return state, energy
+
+    init = jnp.zeros((B, channels, 4, 2), jnp.float32)
+    _, sub_energy = jax.lax.scan(step, init, blocks)           # (n_sub, B, C)
+    sub_energy = sub_energy.transpose(1, 2, 0)                 # (B, C, n_sub)
+
+    # Window w covers sub-blocks [w*hop/g, w*hop/g + nwin/g).
+    w_per = nwin // g
+    h_per = hop // g
+    starts = np.arange(n_cols) * h_per
+    idx = starts[:, None] + np.arange(w_per)[None, :]          # (n_cols, w_per)
+    win_energy = sub_energy[..., idx].sum(-1)                  # (B, C, n_cols)
+    return jnp.sqrt(win_energy / nwin)
+
+
+@functools.lru_cache(maxsize=None)
+def _gammatone_fft_weights(
+    fs: float, n_fft: int, channels: int, f_min: float
+) -> np.ndarray:
+    """(C, 1 + n_fft//2) squared-magnitude response of each gammatone channel."""
+    coeffs = make_erb_coeffs(fs, channels, f_min)
+    freqs = np.linspace(0.0, fs / 2.0, 1 + n_fft // 2)
+    z = np.exp(2j * np.pi * freqs / fs)
+    zinv = 1.0 / z
+    den = 1.0 + coeffs.b1[:, None] * zinv + coeffs.b2[:, None] * zinv**2
+    h = np.ones_like(den)
+    for k in range(4):
+        num = coeffs.a0[:, None] + coeffs.a1[k][:, None] * zinv
+        h = h * (num / den)
+    h = h / coeffs.gain[:, None]
+    return (np.abs(h) ** 2).astype(np.float32)
+
+
+def gtgram_fft(
+    wave: jnp.ndarray,
+    fs: float,
+    window_time: float,
+    hop_time: float,
+    channels: int,
+    f_min: float,
+) -> jnp.ndarray:
+    """FFT-weighted gammatone approximation. wave: (B, S) -> (B, C, n_cols).
+
+    STFT with the gtgram window/hop geometry and a Hann window, band-energy
+    weighted by each channel's |H(f)|^2 — the standard `fft_gtgram` trick.
+    """
+    B, S = wave.shape
+    nwin, hop, n_cols = gtgram_strides(fs, window_time, hop_time, S)
+    n_fft = 1 << (nwin - 1).bit_length()
+    starts = (np.arange(n_cols) * hop)[:, None] + np.arange(nwin)[None, :]
+    frames = wave[:, starts]                                   # (B, n_cols, nwin)
+    win = jnp.asarray(hann_window(nwin))
+    win_power = float(np.sum(hann_window(nwin) ** 2))
+    spec = jnp.fft.rfft(frames * win, n=n_fft, axis=-1)
+    power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) / win_power
+    weights = jnp.asarray(_gammatone_fft_weights(fs, n_fft, channels, f_min))
+    band = jnp.einsum("cf,btf->bct", weights, power, preferred_element_type=jnp.float32)
+    # Normalize by the FFT bin count so scales roughly match the IIR path.
+    return jnp.sqrt(band / n_fft)

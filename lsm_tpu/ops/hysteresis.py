@@ -1,0 +1,97 @@
+"""Multi-threshold hysteresis (Schmitt-trigger) spike encoder.
+
+Reference semantics (create_dataset.py:81-98): for each threshold theta
+(iterated in DESCENDING order; index t_idx counts from the highest), a
+per-filter Schmitt trigger walks the 100 time bins carrying an `active`
+state: it turns ON when value > theta, OFF when value < theta - gap, and
+holds otherwise. While ON it emits a 1 every bin (level coding). Outputs are
+interleaved: column `time_bin * n_thresholds + t_idx`, so 4 consecutive
+columns per original bin ordered high->low threshold.
+
+TPU-first formulation: the recurrence
+    active_t = rising_t OR (active_{t-1} AND holdable_t)
+with rising_t = (x_t > theta) and holdable_t = (x_t >= theta - gap) is a
+composition of boolean affine maps f_t(a) = b_t | (a & c_t), which compose
+closed-form:  (b2, c2) o (b1, c1) = (b2 | (b1 & c2), c1 & c2).
+That makes it an ASSOCIATIVE scan — O(log T) depth on the VPU instead of a
+100-step sequential loop, and it vectorizes over (batch, filters,
+thresholds) simultaneously.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _compose(left, right):
+    """Compose boolean affine maps a -> b | (a & c); right applied after left."""
+    b1, c1 = left
+    b2, c2 = right
+    return jnp.logical_or(b2, jnp.logical_and(b1, c2)), jnp.logical_and(c1, c2)
+
+
+def hysteresis_encode(
+    spec: jnp.ndarray,
+    thresholds: Sequence[float],
+    gap: float,
+) -> jnp.ndarray:
+    """Encode normalized spectrograms into interleaved multi-threshold spikes.
+
+    Args:
+      spec: (..., n_filters, T) float in [0, 1].
+      thresholds: spike thresholds; encoded in descending order (t_idx 0 is
+        the highest threshold), matching create_dataset.py:87.
+      gap: hysteresis gap (OFF level = threshold - gap).
+
+    Returns:
+      (..., n_filters, T * len(thresholds)) uint8, interleaved layout.
+    """
+    thr = np.sort(np.asarray(thresholds, dtype=np.float32))[::-1]  # descending
+    n_thr = len(thr)
+    t_len = spec.shape[-1]
+
+    x = spec[..., None, :, :]                       # (..., 1, F, T)
+    thr_col = jnp.asarray(thr.copy()).reshape(
+        (1,) * (spec.ndim - 2) + (n_thr, 1, 1)
+    )
+    rising = x > thr_col                            # b_t
+    holdable = x >= (thr_col - gap)                 # c_t  (NOT falling)
+
+    # Associative scan along time (last axis). Initial state active=False, so
+    # the scanned prefix value b directly equals active_t.
+    b, _ = jax.lax.associative_scan(
+        lambda l, r: _compose(l, r), (rising, holdable), axis=-1
+    )
+    active = b                                       # (..., n_thr, F, T) bool
+
+    # Interleave: output column = time_bin * n_thr + t_idx.
+    # (..., n_thr, F, T) -> (..., F, T, n_thr) -> (..., F, T * n_thr)
+    out = jnp.moveaxis(active, -3, -1)
+    out = out.reshape(out.shape[:-2] + (t_len * n_thr,))
+    return out.astype(jnp.uint8)
+
+
+def hysteresis_encode_reference(
+    spec: np.ndarray, thresholds: Sequence[float], gap: float
+) -> np.ndarray:
+    """Trivially-correct sequential NumPy implementation (test oracle).
+
+    Mirrors create_dataset.py:81-98 exactly, for unit-test comparison.
+    """
+    n_filters, n_time = spec.shape
+    n_thr = len(thresholds)
+    spikes = np.zeros((n_filters, n_time * n_thr), dtype=np.uint8)
+    for t_idx, threshold in enumerate(sorted(thresholds, reverse=True)):
+        active = np.zeros(n_filters, dtype=bool)
+        lower = threshold - gap
+        for tb in range(n_time):
+            rising = (spec[:, tb] > threshold) & ~active
+            falling = (spec[:, tb] < lower) & active
+            active[rising] = True
+            active[falling] = False
+            spikes[:, tb * n_thr + t_idx] = active.astype(np.uint8)
+    return spikes

@@ -1,0 +1,100 @@
+"""Unit tests for DSP ops: STFT/mel/dB/zoom/hysteresis vs. trusted oracles."""
+
+import numpy as np
+import pytest
+import scipy.ndimage
+import scipy.signal
+
+import jax.numpy as jnp
+
+from lsm_tpu.ops import db as db_ops
+from lsm_tpu.ops import hysteresis, mel, resample, stft
+
+
+def test_hann_window_matches_scipy():
+    w = stft.hann_window(2048)
+    ref = scipy.signal.get_window("hann", 2048, fftbins=True)
+    np.testing.assert_allclose(w, ref, atol=1e-6)
+
+
+def test_stft_power_matches_scipy(rng):
+    n_fft, hop = 512, 160
+    audio = rng.standard_normal((2, 16000)).astype(np.float32)
+    ours = np.asarray(stft.stft_power(jnp.asarray(audio), n_fft, hop))
+    # Oracle: manual centered framed FFT (librosa semantics, constant pad).
+    pad = n_fft // 2
+    win = scipy.signal.get_window("hann", n_fft, fftbins=True)
+    for b in range(audio.shape[0]):
+        y = np.pad(audio[b], (pad, pad))
+        n_frames = 1 + 16000 // hop
+        ref = np.zeros((1 + n_fft // 2, n_frames))
+        for f in range(n_frames):
+            seg = y[f * hop : f * hop + n_fft] * win
+            ref[:, f] = np.abs(np.fft.rfft(seg)) ** 2
+        np.testing.assert_allclose(ours[b], ref, rtol=1e-3, atol=1e-3)
+
+
+def test_mel_filterbank_shape_and_properties():
+    fb = mel.mel_filterbank(16000, 2048, 128, 0.0, 8000.0)
+    assert fb.shape == (128, 1025)
+    assert np.all(fb >= 0)
+    # Every filter is nonempty and triangular (single max).
+    assert np.all(fb.max(axis=1) > 0)
+    # Slaney normalization: filters have ~constant integral over Hz.
+    integrals = fb.sum(axis=1)
+    assert integrals.std() / integrals.mean() < 0.25
+
+
+def test_mel_filterbank_matches_librosa_formula():
+    # Independent recomputation of the Slaney mel formula as an oracle.
+    fb = mel.mel_filterbank(16000, 1024, 8, 0.0, 8000.0)
+    # Known Slaney scale anchor points: 1000 Hz -> 15 mels.
+    assert abs(mel.hz_to_mel(np.array(1000.0)) - 15.0) < 1e-9
+    assert abs(mel.mel_to_hz(np.array(15.0)) - 1000.0) < 1e-6
+    # Round trip.
+    f = np.linspace(20, 7900, 50)
+    np.testing.assert_allclose(mel.mel_to_hz(mel.hz_to_mel(f)), f, rtol=1e-10)
+    assert fb.shape == (8, 513)
+
+
+def test_power_to_db_matches_reference_semantics(rng):
+    s = (rng.random((3, 16, 20)) * 100).astype(np.float32)
+    out = np.asarray(db_ops.power_to_db(jnp.asarray(s)))
+    for b in range(3):
+        ref = 10 * np.log10(np.maximum(s[b], 1e-10))
+        ref -= 10 * np.log10(np.maximum(s[b].max(), 1e-10))
+        ref = np.maximum(ref, ref.max() - 80.0)
+        np.testing.assert_allclose(out[b], ref, rtol=2e-3, atol=2e-3)
+
+
+def test_minmax_normalize_degenerate_to_zeros():
+    flat = jnp.ones((2, 4, 10))
+    out = np.asarray(db_ops.minmax_normalize(flat))
+    assert np.all(out == 0.0)
+
+
+def test_zoom_matches_scipy(rng):
+    for t_in in (101, 98, 53, 200):
+        spec = rng.random((5, t_in)).astype(np.float32)
+        ours = np.asarray(resample.zoom_time_axis(jnp.asarray(spec), 100))
+        ref = scipy.ndimage.zoom(spec, (1, 100 / t_in), order=1)
+        assert ref.shape[1] == 100
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_hysteresis_matches_sequential_oracle(rng):
+    thresholds = (0.70, 0.80, 0.90, 0.95)
+    spec = rng.random((3, 16, 100)).astype(np.float32)
+    ours = np.asarray(hysteresis.hysteresis_encode(jnp.asarray(spec), thresholds, 0.1))
+    assert ours.shape == (3, 16, 400)
+    for b in range(3):
+        ref = hysteresis.hysteresis_encode_reference(spec[b], thresholds, 0.1)
+        np.testing.assert_array_equal(ours[b], ref)
+
+
+def test_hysteresis_holds_state_across_bins():
+    # A channel rising above 0.95 then hovering in the hysteresis band must
+    # stay ON until it drops below threshold - gap.
+    spec = np.array([[0.99, 0.90, 0.88, 0.86, 0.70, 0.99]], dtype=np.float32)
+    out = np.asarray(hysteresis.hysteresis_encode(jnp.asarray(spec), (0.95,), 0.1))
+    np.testing.assert_array_equal(out[0], [1, 1, 1, 1, 0, 1])
