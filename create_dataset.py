@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Stage 1 CLI: audio -> spike-train dataset artifact.
+
+Drop-in equivalent of the reference's create_dataset.py (same flags
+--n-filters / --filterbank, same output artifact
+speech_spike_dataset_pure_redundancy.npz, same directory-walk semantics),
+backed by the batched TPU featurizer instead of a per-file Python loop.
+Extensions: --data-dir, --synthetic, --vocab, --batch-size.
+"""
+
+import argparse
+from pathlib import Path
+
+from lsm_tpu.cli.common import (
+    add_extension_flags,
+    add_frontend_flags,
+    build_config,
+    setup_logging,
+)
+from lsm_tpu.io import artifacts, dataset
+from lsm_tpu.pipeline import create_spike_dataset, featurize_audio_array
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Create a spike train dataset from audio files."
+    )
+    add_frontend_flags(parser)
+    add_extension_flags(parser)
+    parser.add_argument("--output", type=str,
+                        default=artifacts.SPIKE_DATASET_FILENAME)
+    args = parser.parse_args()
+    setup_logging()
+    cfg = build_config(args)
+
+    print(f"Creating dataset with filterbank: {cfg.frontend.filterbank}, "
+          f"filters: {cfg.frontend.n_filters}")
+
+    if args.synthetic:
+        audio, labels = dataset.synthetic_audio_batch(
+            n_per_class=min(args.samples_per_class, 200),
+            n_classes=len(cfg.commands),
+        )
+        spikes = featurize_audio_array(cfg, audio)
+        ds = artifacts.SpikeDataset(x_spikes=spikes, y_labels=labels)
+        artifacts.save_spike_dataset(Path(args.output), ds)
+    else:
+        ds = create_spike_dataset(cfg, Path(args.data_dir), Path(args.output))
+
+    print("\nDataset created successfully.")
+    print(f"  Shape: {ds.x_spikes.shape}")
+    print(f"  Avg spikes per sample: {ds.x_spikes.sum() / len(ds.x_spikes):.1f}")
+    print(f"Saved to '{args.output}'")
+
+
+if __name__ == "__main__":
+    main()

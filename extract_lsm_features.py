@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Stage 2 CLI: spike dataset -> standardized LSM features.
+
+Drop-in equivalent of the reference's extract_lsm_features.py (same flags
+--feature-set / --multiplier / --leak-variance-divisor, same input/output
+artifacts), backed by the batched lax.scan reservoir instead of a per-sample
+simulator loop. Extensions: --num-neurons, --batch-size, --input/--output.
+"""
+
+import argparse
+from pathlib import Path
+
+from lsm_tpu.cli.common import (
+    add_extension_flags,
+    add_extract_flags,
+    build_config,
+    setup_logging,
+)
+from lsm_tpu.io import artifacts
+from lsm_tpu.pipeline import extract_lsm_features
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Extract features from a spike train dataset using an LSM."
+    )
+    add_extract_flags(parser)
+    add_extension_flags(parser)
+    parser.add_argument("--input", type=str,
+                        default=artifacts.SPIKE_DATASET_FILENAME)
+    parser.add_argument("--output", type=str, default=artifacts.FEATURES_FILENAME)
+    args = parser.parse_args()
+    setup_logging()
+    cfg = build_config(args)
+
+    try:
+        ds = artifacts.load_spike_dataset(Path(args.input))
+    except FileNotFoundError as e:
+        print(f"Error: {e}")
+        return
+    print(f"Loaded {len(ds.x_spikes)} samples from '{args.input}'")
+
+    result = extract_lsm_features(cfg, ds, output_path=Path(args.output))
+    print(f"Extraction complete. Features saved to '{args.output}'")
+
+
+if __name__ == "__main__":
+    main()

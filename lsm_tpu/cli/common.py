@@ -1,0 +1,84 @@
+"""Shared CLI plumbing: logging setup and config assembly from flags."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+
+from lsm_tpu.config import (
+    COMMANDS_12,
+    COMMANDS_35,
+    FEATURE_SETS,
+    FrontendConfig,
+    PipelineConfig,
+    ReservoirConfig,
+)
+
+
+def setup_logging(verbose: bool = True) -> None:
+    logging.basicConfig(
+        level=logging.INFO if verbose else logging.WARNING,
+        format="%(message)s",
+        stream=sys.stdout,
+        force=True,
+    )
+
+
+def add_frontend_flags(p: argparse.ArgumentParser) -> None:
+    # Exact reference surface (create_dataset.py:181-194).
+    p.add_argument("--n-filters", type=int, default=128,
+                   help="Number of filters for the filterbank.")
+    p.add_argument("--filterbank", type=str, default="gammatone",
+                   choices=["mel", "gammatone"],
+                   help="Type of filterbank to use.")
+
+
+def add_extract_flags(p: argparse.ArgumentParser) -> None:
+    # Exact reference surface (extract_lsm_features.py:218-221).
+    p.add_argument("--feature-set", type=str, default="original",
+                   choices=list(FEATURE_SETS.keys()))
+    p.add_argument("--multiplier", type=float, default=0.6)
+    p.add_argument("--leak-variance-divisor", type=float, default=None)
+
+
+def add_extension_flags(p: argparse.ArgumentParser) -> None:
+    # TPU-build extensions beyond the reference CLI.
+    p.add_argument("--data-dir", type=str, default="speech_commands_v0.02",
+                   help="Speech Commands-style dataset root.")
+    p.add_argument("--vocab", type=str, default="v12", choices=["v12", "v35"],
+                   help="12-command reference vocabulary or full 35-class set.")
+    p.add_argument("--synthetic", action="store_true",
+                   help="Use a synthetic corpus (no dataset on disk needed).")
+    p.add_argument("--samples-per-class", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--gammatone-method", type=str, default="iir",
+                   choices=["iir", "fft"])
+    p.add_argument("--num-neurons", type=int, default=1000)
+    p.add_argument("--num-output-neurons", type=int, default=400)
+
+
+def build_config(args: argparse.Namespace) -> PipelineConfig:
+    commands = COMMANDS_35 if getattr(args, "vocab", "v12") == "v35" else COMMANDS_12
+    frontend = FrontendConfig(
+        n_filters=getattr(args, "n_filters", 128),
+        filterbank=getattr(args, "filterbank", "gammatone"),
+        gammatone_method=getattr(args, "gammatone_method", "iir"),
+    )
+    n_neurons = getattr(args, "num_neurons", 1000)
+    reservoir = ReservoirConfig(
+        num_neurons=n_neurons,
+        num_output_neurons=getattr(args, "num_output_neurons", 400),
+        small_world_k=int(0.10 * n_neurons * 2),
+        leak_variance_divisor=getattr(args, "leak_variance_divisor", None),
+    )
+    return PipelineConfig(
+        frontend=frontend,
+        reservoir=reservoir,
+        feature_set=getattr(args, "feature_set", "original"),
+        multiplier=getattr(args, "multiplier", 0.6),
+        max_samples_per_class=getattr(args, "samples_per_class", 1000),
+        commands=commands,
+        batch_size=getattr(args, "batch_size", 512),
+    )

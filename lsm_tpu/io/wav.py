@@ -1,0 +1,173 @@
+"""WAV decoding without librosa/soundfile.
+
+The reference loads audio with `librosa.load(sr=16000, duration=1.0,
+mono=True)` (create_dataset.py:26-27). Google Speech Commands v0.02 ships
+16 kHz 16-bit PCM mono WAVs, so in the common case decoding is a header
+parse + int16 -> float32 scale. This module provides:
+
+- a vectorized NumPy RIFF/WAVE parser (PCM 8/16/32-bit and IEEE float),
+- mono downmix (mean over channels, matching librosa's to_mono),
+- polyphase-free linear resampling fallback for non-16kHz files,
+- a batch loader that right-pads/truncates to a fixed length and reports
+  per-file errors instead of raising (matching the reference's skip-on-error
+  behavior, create_dataset.py:34-36).
+
+A native C++ multi-file decoder (lsm_tpu.io.native) is used when available;
+this NumPy path is the portable fallback and the test oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class WavError(ValueError):
+    pass
+
+
+def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE byte buffer -> (samples float32 (n, ch), rate)."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WavError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise WavError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format == 0xFFFE and len(data) >= 0:  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = 1  # PCM subformat is overwhelmingly the case
+    if audio_format == 1:  # PCM
+        if bits == 16:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 8:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 32:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        elif bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8)
+            n = len(b) // 3
+            b = b[: n * 3].reshape(n, 3)
+            val = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            val = np.where(val >= 1 << 23, val - (1 << 24), val)
+            x = val.astype(np.float32) / 8388608.0
+        else:
+            raise WavError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+        else:
+            raise WavError(f"unsupported float bit depth {bits}")
+    else:
+        raise WavError(f"unsupported audio format {audio_format}")
+    if channels > 1:
+        x = x[: (len(x) // channels) * channels].reshape(-1, channels)
+    else:
+        x = x.reshape(-1, 1)
+    return x, rate
+
+
+def to_mono(x: np.ndarray) -> np.ndarray:
+    return x.mean(axis=1) if x.shape[1] > 1 else x[:, 0]
+
+
+def resample_linear(x: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Linear resampler for the rare non-16kHz file."""
+    if src_rate == dst_rate:
+        return x
+    n_out = int(round(len(x) * dst_rate / src_rate))
+    if n_out <= 1 or len(x) <= 1:
+        return np.zeros(max(n_out, 0), dtype=np.float32)
+    pos = np.arange(n_out, dtype=np.float64) * (len(x) - 1) / (n_out - 1)
+    lo = np.minimum(pos.astype(np.int64), len(x) - 2)
+    frac = (pos - lo).astype(np.float32)
+    return (x[lo] * (1 - frac) + x[lo + 1] * frac).astype(np.float32)
+
+
+def load_wav(
+    path: Path, sample_rate: int = 16000, duration: Optional[float] = None
+) -> np.ndarray:
+    """Decode one file -> float32 mono at sample_rate (duration-truncated)."""
+    x, rate = decode_wav(Path(path).read_bytes())
+    y = to_mono(x)
+    if duration is not None:
+        # librosa truncates at the SOURCE rate before resampling.
+        y = y[: int(duration * rate)]
+    y = resample_linear(y, rate, sample_rate)
+    return y.astype(np.float32)
+
+
+def load_audio_batch(
+    paths: Sequence[Path],
+    sample_rate: int = 16000,
+    duration: float = 1.0,
+    use_native: bool = True,
+) -> Tuple[np.ndarray, List[int], List[Tuple[Path, str]]]:
+    """Decode many files -> (batch (n_ok, T) f32, kept indices, errors).
+
+    Right-pads with zeros / truncates to exactly sample_rate*duration samples
+    (create_dataset.py:28-32). Decode failures are collected, not raised
+    (create_dataset.py:34-36).
+    """
+    target = int(sample_rate * duration)
+    if use_native:
+        try:
+            from lsm_tpu.io import native
+
+            if native.available():
+                return native.load_audio_batch(paths, sample_rate, duration)
+        except Exception:
+            pass
+
+    rows, kept, errors = [], [], []
+    for i, p in enumerate(paths):
+        try:
+            y = load_wav(p, sample_rate, duration)
+        except Exception as e:  # noqa: BLE001 - mirror reference skip-on-error
+            errors.append((Path(p), str(e)))
+            continue
+        if len(y) < target:
+            y = np.pad(y, (0, target - len(y)))
+        rows.append(y[:target])
+        kept.append(i)
+    batch = (
+        np.stack(rows).astype(np.float32)
+        if rows
+        else np.zeros((0, target), np.float32)
+    )
+    return batch, kept, errors
+
+
+def write_wav(path: Path, audio: np.ndarray, rate: int = 16000) -> None:
+    """Write mono 16-bit PCM (for tests and synthetic datasets)."""
+    pcm = np.clip(audio, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    data = pcm.tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(data)))
+        f.write(b"WAVE")
+        f.write(b"fmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(data)))
+        f.write(data)

@@ -1,0 +1,68 @@
+"""Hyperparameter sweep utilities for reservoir regime calibration.
+
+The reference's snnpy internals (input projection scheme, weight_variance
+semantics) are not on disk, so SURVEY.md section 7 mandates calibrating our
+parameterization empirically: the acceptance criteria are the diagnostics
+regime (80-95% participation, low rates at multiplier 0.6) and end-to-end
+accuracy. This module sweeps (input_density, input_gain, weight_variance)
+and reports the regime per point; `tools/calibrate.py` drives it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from lsm_tpu.config import ReservoirConfig
+from lsm_tpu.models import reservoir as res
+from lsm_tpu.models.calibration import calibrate_weight
+
+
+@dataclasses.dataclass
+class SweepPoint:
+    input_density: float
+    input_gain: float
+    weight_variance: float
+    multiplier: float
+    participation: float      # %
+    spikes_per_neuron: float
+    regime: str
+
+
+def sweep_regime(
+    spikes: np.ndarray,
+    base_cfg: ReservoirConfig,
+    input_densities: Sequence[float],
+    input_gains: Sequence[float],
+    weight_variances: Sequence[float],
+    multiplier: float = 0.6,
+    n_probe: int = 8,
+) -> List[SweepPoint]:
+    import jax.numpy as jnp
+
+    from lsm_tpu.models.reservoir import simulate_batch
+
+    probe = jnp.asarray(spikes[:n_probe])
+    n_channels = spikes.shape[1]
+    out: List[SweepPoint] = []
+    for dens, gain, wv in itertools.product(
+        input_densities, input_gains, weight_variances
+    ):
+        cfg = dataclasses.replace(
+            base_cfg, input_density=dens, input_gain=gain, weight_variance=wv
+        )
+        _, mw = calibrate_weight(cfg, jnp.asarray(spikes), multiplier)
+        params = res.init_reservoir(cfg, n_channels, mean_weight=mw)
+        stats = simulate_batch(params, probe)
+        counts = np.asarray(stats["all_counts"])
+        part = float((counts > 0).mean(axis=1).mean() * 100.0)
+        rate = float(counts.mean())
+        regime = (
+            "SUB-CRITICAL" if part < 40 else
+            "SUPER-CRITICAL" if part > 98 else "EDGE OF CHAOS"
+        )
+        out.append(SweepPoint(dens, gain, wv, multiplier, part, rate, regime))
+    return out

@@ -199,11 +199,17 @@ def gtgram_iir(
         return x, jnp.stack(new_s, axis=-2)
 
     def step(state, block):
-        energy = jnp.zeros((B, channels), jnp.float32)
-        for i in range(g):
-            x = jnp.broadcast_to(block[i][:, None], (B, channels))
-            y, state = biquad_chain(x, state)
-            energy = energy + y * y
+        # Inner scan over the g samples of this sub-block: keeps the traced
+        # program one biquad step regardless of g (compile-time matters —
+        # an unrolled inner loop multiplies HLO size by g).
+        def inner(carry, x_row):
+            st, energy = carry
+            x = jnp.broadcast_to(x_row[:, None], (B, channels))
+            y, st = biquad_chain(x, st)
+            return (st, energy + y * y), None
+
+        zero_e = jnp.zeros((B, channels), jnp.float32)
+        (state, energy), _ = jax.lax.scan(inner, (state, zero_e), block)
         return state, energy
 
     init = jnp.zeros((B, channels, 4, 2), jnp.float32)

@@ -1,0 +1,179 @@
+"""Sharded execution paths: data-parallel stages and the model-parallel
+(neuron-sharded) reservoir for scaled configurations.
+
+Data parallelism: utterance batches shard along the mesh 'data' axis; the
+featurizer and reservoir are element-wise in the batch, so XLA partitions
+them with zero communication. Global reductions (calibration spike sums,
+scaler moments, readout gradients) become psums over the data axis.
+
+Model parallelism (for 10k+ neuron reservoirs, BASELINE.json configs[3]):
+the recurrent matrix W (N, N) is sharded column-wise over the 'model' axis —
+each shard owns the update of its neuron slice. Per scan step each shard
+computes (B_local, N) x (N, N/m) locally and all_gathers the new spike slice
+along 'model' so the next step sees the full spike vector. This is the
+standard tensor-parallel RNN decomposition: compute scales 1/m per chip,
+communication is one (B_local, N/m) all-gather per step riding ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from lsm_tpu.models.reservoir import ReservoirParams, features_from_stats
+from lsm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def data_parallel_extract(
+    params: ReservoirParams,
+    spikes: jax.Array,
+    feature_keys: Tuple[str, ...],
+    mesh: Mesh,
+) -> jax.Array:
+    """Pure-DP feature extraction: shard batch, replicate weights."""
+    from lsm_tpu.models.reservoir import extract_features_batch
+
+    spikes = jax.device_put(spikes, NamedSharding(mesh, P(DATA_AXIS)))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    return extract_features_batch(params, spikes, feature_keys)
+
+
+def _simulate_model_sharded_local(
+    w_rec_shard: jax.Array,   # (N, N/m) — columns owned by this shard
+    w_in_shard: jax.Array,    # (C, N/m)
+    leak_shard: jax.Array,    # (N/m,)
+    spikes_in: jax.Array,     # (B_local, C, T)
+    threshold: float,
+    refractory: int,
+    burst_isi_max: int,
+    n_rate_windows: int,
+) -> Dict[str, jax.Array]:
+    """Per-shard LIF scan. Stats are kept for ALL local neurons; the caller
+    slices out the output-neuron columns after re-assembly."""
+    B, C, T = spikes_in.shape
+    n_local = w_rec_shard.shape[1]
+    n_win = n_rate_windows
+    win_len = max(1, T // n_win)
+
+    xs_t = jnp.moveaxis(spikes_in.astype(jnp.float32), -1, 0)
+    leak_keep = 1.0 - leak_shard
+
+    def step(carry, inp):
+        x_t, t = inp
+        v, refrac, s_prev_full, st = carry
+        # s_prev_full: (B, N) — gathered full spike vector from last step.
+        drive = (
+            jnp.dot(s_prev_full, w_rec_shard, preferred_element_type=jnp.float32)
+            + jnp.dot(x_t, w_in_shard, preferred_element_type=jnp.float32)
+        )
+        active = refrac == 0
+        v_new = jnp.where(active, v * leak_keep + drive, 0.0)
+        spike = jnp.logical_and(v_new >= threshold, active)
+        v_new = jnp.where(spike, 0.0, v_new)
+        refrac_new = jnp.where(spike, refractory, jnp.maximum(refrac - 1, 0))
+
+        s_local = spike.astype(jnp.float32)                    # (B, N/m)
+        # The one collective per step: assemble the full spike vector.
+        s_full = jax.lax.all_gather(s_local, MODEL_AXIS, axis=1, tiled=True)
+
+        tf = t.astype(jnp.float32)
+        prev_t = st["prev_t"]
+        has_prev = prev_t >= 0.0
+        isi = tf - prev_t
+        isi_event = jnp.logical_and(spike, has_prev)
+        isi_f = jnp.where(isi_event, isi, 0.0)
+        wi = t // win_len
+        win_onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_win), 2)
+            == jnp.minimum(wi, n_win - 1)
+        ).astype(jnp.float32)
+
+        new_st = dict(
+            counts=st["counts"] + s_local,
+            sum_t=st["sum_t"] + s_local * tf,
+            sum_t2=st["sum_t2"] + s_local * tf * tf,
+            first=jnp.minimum(st["first"], jnp.where(spike, tf, jnp.inf)),
+            last=jnp.maximum(st["last"], jnp.where(spike, tf, -1.0)),
+            n_isi=st["n_isi"] + isi_event.astype(jnp.float32),
+            sum_isi=st["sum_isi"] + isi_f,
+            sum_isi2=st["sum_isi2"] + isi_f * isi_f,
+            bursts=st["bursts"]
+            + jnp.logical_and(isi_event, isi <= burst_isi_max).astype(jnp.float32),
+            prev_t=jnp.where(spike, tf, prev_t),
+            win_counts=st["win_counts"] + s_local[:, :, None] * win_onehot,
+        )
+        return (v_new, refrac_new, s_full, new_st), None
+
+    z = jnp.zeros((B, n_local), jnp.float32)
+    init_stats = dict(
+        counts=z, sum_t=z, sum_t2=z,
+        first=jnp.full((B, n_local), jnp.inf, jnp.float32),
+        last=jnp.full((B, n_local), -1.0, jnp.float32),
+        n_isi=z, sum_isi=z, sum_isi2=z, bursts=z,
+        prev_t=jnp.full((B, n_local), -1.0, jnp.float32),
+        win_counts=jnp.zeros((B, n_local, n_win), jnp.float32),
+    )
+    n_full = w_rec_shard.shape[0]
+    init = (z, jnp.zeros((B, n_local), jnp.int32),
+            jnp.zeros((B, n_full), jnp.float32), init_stats)
+    ts = jnp.arange(T, dtype=jnp.int32)
+    (_, _, _, st), _ = jax.lax.scan(step, init, (xs_t, ts))
+    st = dict(st)
+    st.pop("prev_t")
+    return st
+
+
+def extract_features_model_sharded(
+    params: ReservoirParams,
+    spikes: jax.Array,
+    feature_keys: Tuple[str, ...],
+    mesh: Mesh,
+) -> jax.Array:
+    """DP x TP reservoir feature extraction under shard_map.
+
+    Batch shards along 'data'; W_rec columns (target neurons) shard along
+    'model'. Returns (B, len(keys) * n_outputs) with the batch axis sharded
+    along 'data' and features replicated along 'model'.
+    """
+    n_pad = params.w_rec.shape[0]
+    no = params.n_outputs
+    c_pad = params.w_in.shape[0]
+    if spikes.shape[1] != c_pad:
+        spikes = jnp.pad(
+            spikes, ((0, 0), (0, c_pad - spikes.shape[1]), (0, 0))
+        )
+
+    def local_fn(w_rec, w_in, leak, spikes_local):
+        st = _simulate_model_sharded_local(
+            w_rec, w_in, leak, spikes_local,
+            params.threshold, params.refractory,
+            params.burst_isi_max, params.n_rate_windows,
+        )
+        # Re-assemble per-neuron stats along the model axis, then slice the
+        # output neurons (the first `no` global columns) and build features.
+        full = {
+            k: jax.lax.all_gather(v, MODEL_AXIS, axis=1, tiled=True)
+            for k, v in st.items()
+        }
+        out = {k: v[:, :no] for k, v in full.items()}
+        out["all_counts"] = full["counts"][:, : params.n_neurons]
+        return features_from_stats(out, feature_keys)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, MODEL_AXIS),   # w_rec: (N, N/m)
+            P(None, MODEL_AXIS),   # w_in:  (C, N/m)
+            P(MODEL_AXIS),         # leak:  (N/m,)
+            P(DATA_AXIS, None, None),
+        ),
+        out_specs=P(DATA_AXIS, None),
+        check_rep=False,
+    )
+    return fn(params.w_rec, params.w_in, params.leak, spikes)

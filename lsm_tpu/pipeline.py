@@ -1,0 +1,283 @@
+"""The three pipeline stages as library functions + the fused end-to-end path.
+
+The reference chains three scripts via `os.system` and .npz files
+(main.py:19-27). Here each stage is a plain function over arrays; the CLI
+scripts are thin façades that preserve the reference's flags and artifact
+filenames, and the whole pipeline can also run fused in one process with no
+intermediate host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsm_tpu.config import FEATURE_SETS, PipelineConfig
+from lsm_tpu.io import artifacts, dataset
+from lsm_tpu.io.wav import load_audio_batch
+from lsm_tpu.models import reservoir as res
+from lsm_tpu.models.calibration import calibrate_weight
+from lsm_tpu.models.diagnostics import DiagnosticsReport, run_network_diagnostics
+from lsm_tpu.models.frontend import featurize_batch
+from lsm_tpu.readout import logistic, metrics, scaler
+
+log = logging.getLogger("lsm_tpu")
+
+
+def _batched(n: int, batch_size: int):
+    for start in range(0, n, batch_size):
+        yield start, min(start + batch_size, n)
+
+
+def _pad_batch(x: np.ndarray, size: int) -> Tuple[np.ndarray, int]:
+    """Pad the batch axis up to `size` so every jit call has one shape."""
+    n = x.shape[0]
+    if n == size:
+        return x, n
+    pad = [(0, size - n)] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad), n
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: audio files -> spike dataset
+# ---------------------------------------------------------------------------
+
+def create_spike_dataset(
+    cfg: PipelineConfig,
+    base_path: Path,
+    output_path: Optional[Path] = None,
+) -> artifacts.SpikeDataset:
+    """Featurize a Speech Commands-style directory tree into spike trains.
+
+    Equivalent of create_dataset.py:107-177, but batched: files are decoded
+    in large chunks and featurized with one jitted call per chunk.
+    """
+    idx = dataset.index_speech_commands(
+        base_path, cfg.commands, cfg.max_samples_per_class
+    )
+    for w in idx.warnings:
+        log.warning(w)
+    if not idx.files:
+        raise RuntimeError("No audio files were successfully processed.")
+
+    fcfg = cfg.frontend
+    bs = cfg.batch_size
+    spikes_out, labels_out = [], []
+    total_spikes = 0.0
+    t0 = time.perf_counter()
+    for start, stop in _batched(len(idx.files), bs):
+        audio, kept, errors = load_audio_batch(
+            idx.files[start:stop], fcfg.sample_rate, fcfg.duration
+        )
+        for path, err in errors:
+            log.warning("Error loading %s: %s", path, err)
+        if audio.shape[0] == 0:
+            continue
+        padded, n_real = _pad_batch(audio, bs)
+        spikes = featurize_batch(jnp.asarray(padded), fcfg)
+        spikes = np.asarray(spikes[:n_real])
+        spikes_out.append(spikes)
+        labels_out.append(idx.labels[start:stop][kept])
+        total_spikes += float(spikes.sum())
+    if not spikes_out:
+        raise RuntimeError("No audio files were successfully processed.")
+
+    x = np.concatenate(spikes_out, axis=0)
+    y = np.concatenate(labels_out, axis=0)
+    dt = time.perf_counter() - t0
+    log.info(
+        "Dataset created: shape=%s avg spikes/sample=%.1f (%.1f utt/s)",
+        x.shape, x.sum() / len(x), len(x) / max(dt, 1e-9),
+    )
+    ds = artifacts.SpikeDataset(x_spikes=x, y_labels=y)
+    if output_path is not None:
+        artifacts.save_spike_dataset(output_path, ds)
+    return ds
+
+
+def featurize_audio_array(
+    cfg: PipelineConfig, audio: np.ndarray
+) -> np.ndarray:
+    """(N, T_samples) float32 -> (N, C, T) uint8 spikes, batched jit calls."""
+    bs = cfg.batch_size
+    out = []
+    for start, stop in _batched(audio.shape[0], bs):
+        padded, n_real = _pad_batch(audio[start:stop], bs)
+        spikes = featurize_batch(jnp.asarray(padded), cfg.frontend)
+        out.append(np.asarray(spikes[:n_real]))
+    return np.concatenate(out, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: spike dataset -> standardized LSM features
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ExtractionResult:
+    artifact: artifacts.FeatureArtifact
+    w_critico: float
+    mean_weight: float
+    diagnostics: DiagnosticsReport
+    params: res.ReservoirParams
+
+
+def stratified_split(
+    x: np.ndarray, y: np.ndarray, test_size: float, seed: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Stratified train/test split, bit-compatible with the reference.
+
+    The reference uses sklearn.train_test_split(..., random_state=42,
+    stratify=y) (extract_lsm_features.py:160-162); sklearn is host-side data
+    plumbing, so we call it directly when available to reproduce the exact
+    split, with a NumPy fallback implementing the same contract.
+    """
+    try:
+        from sklearn.model_selection import train_test_split
+
+        return train_test_split(
+            x, y, test_size=test_size, random_state=seed, stratify=y
+        )
+    except ImportError:
+        rng = np.random.default_rng(seed)
+        train_idx, test_idx = [], []
+        for c in np.unique(y):
+            idx = np.nonzero(y == c)[0]
+            perm = rng.permutation(idx)
+            n_test = int(round(len(idx) * test_size))
+            test_idx.extend(perm[:n_test])
+            train_idx.extend(perm[n_test:])
+        tr = rng.permutation(np.asarray(train_idx))
+        te = rng.permutation(np.asarray(test_idx))
+        return x[tr], x[te], y[tr], y[te]
+
+
+def extract_lsm_features(
+    cfg: PipelineConfig,
+    ds: artifacts.SpikeDataset,
+    output_path: Optional[Path] = None,
+    run_diagnostics: bool = True,
+) -> ExtractionResult:
+    """Equivalent of extract_lsm_features.py:155-214, batched and jitted."""
+    x_train, x_test, y_train, y_test = stratified_split(
+        ds.x_spikes, ds.y_labels, cfg.test_size, cfg.split_seed
+    )
+
+    wc, mean_weight = calibrate_weight(
+        cfg.reservoir, jnp.asarray(x_train), cfg.multiplier
+    )
+    log.info("Theoretical w_critico: %.8f", wc)
+    log.info("Using weight: %.8f (multiplier: %.2f)", mean_weight, cfg.multiplier)
+    if cfg.reservoir.leak_variance_divisor:
+        log.info(
+            "Using Heterogeneous Leak. Divisor: %s",
+            cfg.reservoir.leak_variance_divisor,
+        )
+
+    n_channels = ds.x_spikes.shape[1]
+    params = res.init_reservoir(cfg.reservoir, n_channels, mean_weight=mean_weight)
+
+    report = None
+    if run_diagnostics:
+        report = run_network_diagnostics(params, x_train)
+        log.info("\n%s", report.render())
+
+    keys = tuple(FEATURE_SETS[cfg.feature_set])
+    log.info("Extracting feature set: '%s'", cfg.feature_set)
+
+    def extract(split: np.ndarray, desc: str) -> np.ndarray:
+        out = []
+        t0 = time.perf_counter()
+        for start, stop in _batched(split.shape[0], cfg.batch_size):
+            padded, n_real = _pad_batch(split[start:stop], cfg.batch_size)
+            feats = res.extract_features_batch(params, jnp.asarray(padded), keys)
+            out.append(np.asarray(feats[:n_real]))
+        dt = time.perf_counter() - t0
+        log.info("%s: %d samples in %.2fs (%.1f utt/s)",
+                 desc, split.shape[0], dt, split.shape[0] / max(dt, 1e-9))
+        return np.concatenate(out, axis=0)
+
+    train_feat = extract(x_train, "Training")
+    test_feat = extract(x_test, "Testing")
+
+    st = scaler.fit_scaler(jnp.asarray(train_feat))
+    train_scaled = np.asarray(scaler.transform(st, jnp.asarray(train_feat)))
+    test_scaled = np.asarray(scaler.transform(st, jnp.asarray(test_feat)))
+
+    artifact = artifacts.FeatureArtifact(
+        x_train=train_scaled,
+        y_train=y_train,
+        x_test=test_scaled,
+        y_test=y_test,
+        feature_set=cfg.feature_set,
+        leak_variance_divisor=cfg.reservoir.leak_variance_divisor,
+    )
+    if output_path is not None:
+        artifacts.save_features(output_path, artifact)
+    return ExtractionResult(
+        artifact=artifact,
+        w_critico=wc,
+        mean_weight=mean_weight,
+        diagnostics=report,
+        params=params,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: features -> trained readout + evaluation
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TrainResult:
+    accuracy: float
+    report: metrics.ClassificationReport
+    params: logistic.LogisticParams
+    n_iters: int
+
+
+def train_and_evaluate(
+    cfg: PipelineConfig,
+    artifact: artifacts.FeatureArtifact,
+    class_names: Optional[Sequence[str]] = None,
+) -> TrainResult:
+    """Equivalent of train_classifier.py:7-53 with an on-device LBFGS fit."""
+    names = list(class_names or cfg.commands)
+    num_classes = len(names)
+    x_train = jnp.asarray(artifact.x_train, jnp.float32)
+    y_train = jnp.asarray(artifact.y_train, jnp.int32)
+    x_test = jnp.asarray(artifact.x_test, jnp.float32)
+
+    params, iters = logistic.fit_logistic(
+        x_train, y_train, num_classes=num_classes,
+        l2_c=cfg.readout.l2_c, max_iter=cfg.readout.max_iter,
+        tol=cfg.readout.tol,
+    )
+    y_pred = np.asarray(logistic.predict(params, x_test))
+    rep = metrics.classification_report(artifact.y_test, y_pred, names)
+    log.info("Test Accuracy: %.2f%%", rep.accuracy * 100)
+    return TrainResult(
+        accuracy=rep.accuracy, report=rep, params=params, n_iters=int(iters)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused end-to-end (no intermediate artifacts)
+# ---------------------------------------------------------------------------
+
+def run_pipeline_arrays(
+    cfg: PipelineConfig,
+    audio: np.ndarray,
+    labels: np.ndarray,
+) -> Tuple[TrainResult, ExtractionResult]:
+    """Audio arrays in, trained+evaluated readout out — single process."""
+    spikes = featurize_audio_array(cfg, audio)
+    ds = artifacts.SpikeDataset(x_spikes=spikes, y_labels=labels)
+    ext = extract_lsm_features(cfg, ds)
+    result = train_and_evaluate(cfg, ext.artifact)
+    return result, ext

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Full-pipeline CLI — the reference's main.py surface.
+
+Same flags (--n-filters, --filterbank, --feature-set, --multiplier), but the
+stages run IN-PROCESS as library calls sharing one device context instead of
+`os.system` subprocesses (main.py:19-27 in the reference): no triple JAX
+startup, no redundant artifact round-trips — while the per-stage scripts
+remain independently runnable and the artifacts are still written for
+stage-level resume (SURVEY.md section 5.4).
+"""
+
+import argparse
+from pathlib import Path
+
+from lsm_tpu.cli.common import (
+    add_extension_flags,
+    add_extract_flags,
+    add_frontend_flags,
+    build_config,
+    setup_logging,
+)
+from lsm_tpu.io import artifacts, dataset
+from lsm_tpu.pipeline import (
+    create_spike_dataset,
+    extract_lsm_features,
+    featurize_audio_array,
+    train_and_evaluate,
+)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Run the entire speech recognition pipeline."
+    )
+    add_frontend_flags(parser)
+    add_extract_flags(parser)
+    add_extension_flags(parser)
+    parser.add_argument("--skip-artifacts", action="store_true",
+                        help="Skip writing intermediate .npz artifacts.")
+    args = parser.parse_args()
+    setup_logging()
+    cfg = build_config(args)
+
+    print("--- Running Pipeline ---")
+
+    print("\n--- Step 1: Creating Spike Train Dataset ---")
+    spike_path = None if args.skip_artifacts else Path(
+        artifacts.SPIKE_DATASET_FILENAME
+    )
+    if args.synthetic:
+        audio, labels = dataset.synthetic_audio_batch(
+            n_per_class=min(args.samples_per_class, 200),
+            n_classes=len(cfg.commands),
+        )
+        spikes = featurize_audio_array(cfg, audio)
+        ds = artifacts.SpikeDataset(x_spikes=spikes, y_labels=labels)
+        if spike_path is not None:
+            artifacts.save_spike_dataset(spike_path, ds)
+    else:
+        ds = create_spike_dataset(cfg, Path(args.data_dir), spike_path)
+    print(f"  Shape: {ds.x_spikes.shape}")
+
+    print("\n--- Step 2: Extracting LSM Features ---")
+    feat_path = None if args.skip_artifacts else Path(artifacts.FEATURES_FILENAME)
+    ext = extract_lsm_features(cfg, ds, output_path=feat_path)
+
+    print("\n--- Step 3: Training and Evaluating Classifier ---")
+    result = train_and_evaluate(cfg, ext.artifact)
+    print("\n--- Final Results ---")
+    print(f"Test Accuracy: {result.accuracy * 100:.2f}%\n")
+    print("Classification Report:")
+    print(result.report.render())
+
+    print("\n--- Pipeline Finished ---")
+
+
+if __name__ == "__main__":
+    main()

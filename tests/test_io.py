@@ -1,0 +1,119 @@
+"""IO tests: WAV round-trip vs scipy, dataset walking, artifact schemas."""
+
+import numpy as np
+import pytest
+import scipy.io.wavfile
+
+from lsm_tpu.io import artifacts, dataset, wav
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    audio = np.clip(rng.standard_normal(16000) * 0.3, -0.99, 0.99).astype(np.float32)
+    p = tmp_path / "a.wav"
+    wav.write_wav(p, audio, 16000)
+    y = wav.load_wav(p, 16000, duration=1.0)
+    assert y.shape == (16000,)
+    # write scales by 32767, decode divides by 32768 -> ~2/32768 worst case.
+    np.testing.assert_allclose(y, audio, atol=1e-4)
+
+
+def test_wav_decode_matches_scipy(tmp_path, rng):
+    audio_i16 = (rng.standard_normal(8000) * 8000).astype(np.int16)
+    p = tmp_path / "b.wav"
+    scipy.io.wavfile.write(p, 16000, audio_i16)
+    x, rate = wav.decode_wav(p.read_bytes())
+    assert rate == 16000
+    np.testing.assert_allclose(x[:, 0], audio_i16 / 32768.0, atol=1e-6)
+
+
+def test_wav_stereo_downmix_and_resample(tmp_path, rng):
+    stereo = (rng.standard_normal((4000, 2)) * 8000).astype(np.int16)
+    p = tmp_path / "c.wav"
+    scipy.io.wavfile.write(p, 8000, stereo)
+    y = wav.load_wav(p, 16000, duration=1.0)
+    # 0.5 s at 8 kHz -> 0.5 s at 16 kHz = 8000 samples.
+    assert abs(len(y) - 8000) <= 2
+    mono = stereo.mean(axis=1) / 32768.0
+    # Endpoints preserved by linear resampling.
+    np.testing.assert_allclose(y[0], mono[0], atol=1e-4)
+
+
+def test_wav_errors_are_wav_errors():
+    with pytest.raises(wav.WavError):
+        wav.decode_wav(b"not a wav file at all........................................")
+
+
+def test_load_audio_batch_pads_and_skips(tmp_path, rng):
+    good = tmp_path / "good.wav"
+    wav.write_wav(good, rng.standard_normal(8000).astype(np.float32) * 0.1)
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"garbage")
+    batch, kept, errors = wav.load_audio_batch(
+        [good, bad], 16000, 1.0, use_native=False
+    )
+    assert batch.shape == (1, 16000)
+    assert kept == [0]
+    assert len(errors) == 1
+    # Right-padded with zeros.
+    assert np.all(batch[0, 8000:] == 0)
+
+
+def test_index_speech_commands(tmp_path):
+    dataset.write_synthetic_corpus(tmp_path, ["yes", "no"], n_per_class=3)
+    idx = dataset.index_speech_commands(tmp_path, ["yes", "no", "missing"], 2)
+    assert len(idx.files) == 4  # capped at 2 per class
+    assert list(idx.labels) == [0, 0, 1, 1]
+    assert any("missing" in w for w in idx.warnings)
+
+
+def test_synthetic_classes_are_distinct():
+    x, y = dataset.synthetic_audio_batch(n_per_class=2, n_classes=4, seed=7)
+    assert x.shape == (8, 16000)
+    assert np.abs(x).max() <= 1.0
+    # Different classes differ substantially in spectrum.
+    s0 = np.abs(np.fft.rfft(x[0]))
+    s6 = np.abs(np.fft.rfft(x[6]))
+    corr = np.corrcoef(s0, s6)[0, 1]
+    assert corr < 0.9
+
+
+def test_spike_dataset_artifact_roundtrip(tmp_path, rng):
+    x = (rng.random((10, 8, 40)) < 0.2).astype(np.uint8)
+    y = rng.integers(0, 3, 10).astype(np.int32)
+    p = tmp_path / artifacts.SPIKE_DATASET_FILENAME
+    artifacts.save_spike_dataset(p, artifacts.SpikeDataset(x, y))
+    ds = artifacts.load_spike_dataset(p)
+    np.testing.assert_array_equal(ds.x_spikes, x)
+    np.testing.assert_array_equal(ds.y_labels, y)
+    # Exact key names = the compatibility surface.
+    raw = np.load(p)
+    assert set(raw.files) == {"X_spikes", "y_labels"}
+    assert raw["X_spikes"].dtype == np.uint8
+    assert raw["y_labels"].dtype == np.int32
+
+
+def test_features_artifact_roundtrip(tmp_path, rng):
+    art = artifacts.FeatureArtifact(
+        x_train=rng.standard_normal((6, 5)).astype(np.float32),
+        y_train=rng.integers(0, 2, 6).astype(np.int32),
+        x_test=rng.standard_normal((2, 5)).astype(np.float32),
+        y_test=rng.integers(0, 2, 2).astype(np.int32),
+        feature_set="original",
+        leak_variance_divisor=None,
+    )
+    p = tmp_path / artifacts.FEATURES_FILENAME
+    artifacts.save_features(p, art)
+    back = artifacts.load_features(p)
+    np.testing.assert_allclose(back.x_train, art.x_train)
+    assert back.feature_set == "original"
+    assert back.leak_variance_divisor is None
+    raw = np.load(p, allow_pickle=True)
+    assert {"X_train_features", "y_train", "X_test_features", "y_test",
+            "feature_set", "leak_variance_divisor"} <= set(raw.files)
+
+
+def test_missing_artifacts_raise(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        artifacts.load_spike_dataset(tmp_path / "nope.npz")
+    with pytest.raises(FileNotFoundError):
+        artifacts.load_features(tmp_path / "nope.npz")

@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Stage 3 CLI: features -> trained readout + evaluation report.
+
+Drop-in equivalent of the reference's train_classifier.py (no required
+flags, same input artifact, same printed accuracy + classification report),
+backed by an on-device LBFGS multinomial logistic fit.
+"""
+
+import argparse
+from pathlib import Path
+
+from lsm_tpu.cli.common import build_config, setup_logging
+from lsm_tpu.config import COMMANDS_12, COMMANDS_35
+from lsm_tpu.io import artifacts
+from lsm_tpu.pipeline import train_and_evaluate
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Train and evaluate the readout classifier."
+    )
+    parser.add_argument("--input", type=str, default=artifacts.FEATURES_FILENAME)
+    parser.add_argument("--vocab", type=str, default="v12", choices=["v12", "v35"])
+    args = parser.parse_args()
+    setup_logging()
+
+    try:
+        art = artifacts.load_features(Path(args.input))
+    except FileNotFoundError:
+        print("Error: Dataset file not found. "
+              "Please run 'extract_lsm_features.py' first.")
+        return
+
+    print(f"Loaded {len(art.x_train)} training and {len(art.x_test)} test samples.")
+    print("Training the Logistic Regression classifier...")
+    cfg = build_config(args)
+    names = COMMANDS_35 if args.vocab == "v35" else COMMANDS_12
+    n_classes = int(max(art.y_train.max(), art.y_test.max())) + 1
+    result = train_and_evaluate(cfg, art, class_names=names[:n_classes])
+    print("Training complete.")
+    print("Evaluating performance on the test set...")
+    print("\n--- Final Results ---")
+    print(f"Test Accuracy: {result.accuracy * 100:.2f}%\n")
+    print("Classification Report:")
+    print(result.report.render())
+
+
+if __name__ == "__main__":
+    main()
