@@ -118,14 +118,20 @@ class ReservoirConfig:
     # clipped to [0, 1].
     leak_variance_divisor: Optional[float] = None
     # Input projection [inferred - snnpy source not on disk; SURVEY.md 2.3].
-    # Each (channel -> neuron) connection exists with prob input_density;
-    # connected weights equal input_gain / (input_density * n_channels) so
-    # the mean input drive per neuron per step is input_gain * avg_I, which
-    # makes the reference's mean-field w_critico formula
-    # (extract_lsm_features.py:55-57) self-consistent (its numerator models
-    # the input term as 2 * avg_I * refractory_period).
-    input_density: float = 0.15
-    input_gain: float = 2.0
+    # Each input channel projects to `input_fanout` randomly chosen reservoir
+    # neurons with weight `input_weight`. SPARSE fanout is essential: only
+    # ~C*fanout/N neurons receive direct input, the rest are recruited
+    # through recurrence, which is what makes the w_critico `multiplier` the
+    # participation knob the diagnostics tune (extract_lsm_features.py:144-151)
+    # and why "pure redundancy" helps (identical copies project to different
+    # random neurons, SPIKE_TRAIN_DATASET.md:58-59). Calibrated empirically
+    # with tools/calibrate.py: fanout=8, weight=1.0 lands EDGE OF CHAOS
+    # (90.5% participation, 9.3 spikes/neuron) at the reference-default
+    # multiplier 0.6, sub-critical at 0.3, super-critical at 1.0 — matching
+    # the regime map the reference's diagnostics describe
+    # (extract_lsm_features.py:144-151).
+    input_fanout: int = 8
+    input_weight: float = 1.0
     # Burst definition [inferred]: a spike whose ISI from the previous
     # spike is <= burst_isi_max counts as a burst event.
     burst_isi_max: int = 5

@@ -1,0 +1,104 @@
+"""ctypes bindings to the native C++ batch WAV decoder (native/wavio.cpp).
+
+Builds lazily with make/g++ on first use; callers fall back to the NumPy
+decoder (lsm_tpu.io.wav) when the toolchain or library is unavailable, so
+the framework has no hard native dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libwavio.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not _LIB_PATH.exists() and not _build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.wavio_decode_batch.restype = ctypes.c_int
+            lib.wavio_decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_double,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+            ]
+            if lib.wavio_abi_version() != 1:
+                raise OSError("wavio ABI mismatch")
+            _lib = lib
+            return _lib
+        except OSError:
+            _build_failed = True
+            return None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_audio_batch(
+    paths: Sequence[Path],
+    sample_rate: int = 16000,
+    duration: float = 1.0,
+    n_threads: int = 0,
+) -> Tuple[np.ndarray, List[int], List[Tuple[Path, str]]]:
+    """Same contract as lsm_tpu.io.wav.load_audio_batch, native backend."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native wavio unavailable")
+    n = len(paths)
+    target = int(sample_rate * duration)
+    out = np.zeros((n, target), dtype=np.float32)
+    ok = np.zeros(n, dtype=np.int32)
+    c_paths = (ctypes.c_char_p * n)(
+        *[os.fsencode(str(p)) for p in paths]
+    )
+    lib.wavio_decode_batch(
+        c_paths,
+        n,
+        sample_rate,
+        duration,
+        target,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n_threads,
+    )
+    kept = [i for i in range(n) if ok[i]]
+    errors = [(Path(paths[i]), "decode failed") for i in range(n) if not ok[i]]
+    return out[kept], kept, errors

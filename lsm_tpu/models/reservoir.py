@@ -43,13 +43,19 @@ def _round_up(x: int, m: int = _ROUND) -> int:
 
 
 def watts_strogatz_adjacency(n: int, k: int, p: float, rng: np.random.Generator) -> np.ndarray:
-    """Undirected Watts-Strogatz small-world adjacency (n, n) uint8.
+    """DIRECTED Watts-Strogatz small-world adjacency (n, n) bool,
+    adj[src, dst]; out-degree (and expected in-degree) = k/2.
 
-    Ring of n nodes each connected to its k nearest neighbors (k/2 per
-    side), each edge rewired with probability p (standard WS construction;
-    matches the reference's SMALL_WORLD_K/P parameterization at
-    extract_lsm_features.py:15-16 where beta = k/2 in the mean-field formula
-    is the per-side degree).
+    Ring of n nodes, each projecting to its k/2 clockwise neighbors, each
+    edge rewired to a random target with probability p. The k/2 degree
+    (not k) is what makes the reference's mean-field criticality formula
+    consistent: `beta = small_world_graph_k / 2` is the branching fan-in in
+    w_critico = (threshold - input_term) / beta
+    (extract_lsm_features.py:50-57) — at mean_weight = w_critico the
+    branching ratio beta * w / threshold is exactly 1. A symmetric degree-k
+    graph doubles the fan-in and drives the network super-critical at every
+    multiplier, contradicting the reference's observed regimes [inferred +
+    validated empirically via tools/calibrate.py].
     """
     adj = np.zeros((n, n), dtype=bool)
     half = k // 2
@@ -63,7 +69,6 @@ def watts_strogatz_adjacency(n: int, k: int, p: float, rng: np.random.Generator)
         self_loop = targets == nodes
         targets = np.where(self_loop, (nodes + j + half) % n, targets)
         adj[nodes, targets] = True
-        adj[targets, nodes] = True
     np.fill_diagonal(adj, False)
     return adj
 
@@ -102,12 +107,12 @@ def init_reservoir(
     w_rec[:n, :n] = weights
 
     # Input projection [inferred; see config.ReservoirConfig docstring]:
-    # Bernoulli(input_density) mask, constant weight normalized so the mean
-    # drive per neuron per step is input_gain * (input spike density).
-    mask = rng.random((n_channels, n)) < cfg.input_density
-    w_val = cfg.input_gain / (cfg.input_density * n_channels)
+    # each channel -> `input_fanout` random neurons at `input_weight`.
     w_in = np.zeros((c_pad, n_pad), dtype=np.float32)
-    w_in[:n_channels, :n] = mask.astype(np.float32) * w_val
+    fanout = min(cfg.input_fanout, n)
+    for c in range(n_channels):
+        targets = rng.choice(n, size=fanout, replace=False)
+        w_in[c, targets] += cfg.input_weight
 
     if cfg.leak_variance_divisor:
         leak_n = rng.normal(

@@ -1,0 +1,97 @@
+"""Streaming keyword spotting (BASELINE.json configs[4]).
+
+Real-time KWS evaluates a trailing 1 s analysis window every `hop_chunks`
+audio chunks. The stream state is an on-device audio ring buffer per
+stream; each evaluation runs the SAME jitted end-to-end function as the
+batch path (featurize -> reservoir -> features -> readout), so streaming
+predictions are bit-identical to offline predictions on the same window —
+there is no approximate "streaming feature" variant to validate separately.
+
+Latency budget: one window evaluation for a small stream batch is a few ms
+on a v5e chip (dominated by the 400-step LIF scan), well inside a typical
+10-100 ms hop. The sequence axis stays on-chip via lax.scan (SURVEY.md
+section 5.7): longer audio just means more scan steps, O(1) state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsm_tpu.config import FEATURE_SETS, FrontendConfig, ReservoirConfig
+from lsm_tpu.models import reservoir as res
+from lsm_tpu.models.frontend import featurize_batch
+from lsm_tpu.readout import logistic, scaler
+
+
+@functools.partial(jax.jit, static_argnames=("fcfg", "keys"), donate_argnums=(0,))
+def _push_chunk(buffer: jax.Array, chunk: jax.Array, fcfg: FrontendConfig, keys) -> jax.Array:
+    del fcfg, keys
+    n = chunk.shape[-1]
+    return jnp.concatenate([buffer[:, n:], chunk], axis=-1)
+
+
+class StreamingKWS:
+    """Stateful sliding-window keyword spotter over B parallel streams."""
+
+    def __init__(
+        self,
+        params: res.ReservoirParams,
+        readout: logistic.LogisticParams,
+        scaler_state: scaler.ScalerState,
+        fcfg: FrontendConfig,
+        feature_set: str = "original",
+        n_streams: int = 1,
+    ):
+        self.params = params
+        self.readout = readout
+        self.scaler_state = scaler_state
+        self.fcfg = fcfg
+        self.keys = tuple(FEATURE_SETS[feature_set])
+        self.n_streams = n_streams
+        self.buffer = jnp.zeros((n_streams, fcfg.num_samples), jnp.float32)
+
+        @jax.jit
+        def _evaluate(buffer, w, b, mean, scale):
+            spikes = featurize_batch(buffer, fcfg)
+            feats = res.extract_features_batch(params, spikes, self.keys)
+            feats = (feats - mean) / scale
+            return feats @ w + b
+
+        self._evaluate = _evaluate
+
+    def push(self, chunk: np.ndarray) -> None:
+        """Append a (n_streams, chunk_len) audio chunk to the ring buffer."""
+        if chunk.ndim == 1:
+            chunk = chunk[None, :]
+        if chunk.shape[0] != self.n_streams:
+            raise ValueError(
+                f"expected {self.n_streams} streams, got {chunk.shape[0]}"
+            )
+        self.buffer = _push_chunk(
+            self.buffer, jnp.asarray(chunk, jnp.float32), self.fcfg, self.keys
+        )
+
+    def logits(self) -> np.ndarray:
+        """Evaluate the current trailing window. (n_streams, n_classes)."""
+        out = self._evaluate(
+            self.buffer,
+            self.readout.w,
+            self.readout.b,
+            self.scaler_state.mean,
+            self.scaler_state.scale,
+        )
+        return np.asarray(out)
+
+    def predict(self) -> np.ndarray:
+        return np.argmax(self.logits(), axis=-1)
+
+    def reset(self, stream_idx: Optional[int] = None) -> None:
+        if stream_idx is None:
+            self.buffer = jnp.zeros_like(self.buffer)
+        else:
+            self.buffer = self.buffer.at[stream_idx].set(0.0)

@@ -4,7 +4,7 @@ The reference's snnpy internals (input projection scheme, weight_variance
 semantics) are not on disk, so SURVEY.md section 7 mandates calibrating our
 parameterization empirically: the acceptance criteria are the diagnostics
 regime (80-95% participation, low rates at multiplier 0.6) and end-to-end
-accuracy. This module sweeps (input_density, input_gain, weight_variance)
+accuracy. This module sweeps (input_fanout, input_weight, weight_variance, multiplier)
 and reports the regime per point; `tools/calibrate.py` drives it.
 """
 
@@ -23,8 +23,8 @@ from lsm_tpu.models.calibration import calibrate_weight
 
 @dataclasses.dataclass
 class SweepPoint:
-    input_density: float
-    input_gain: float
+    input_fanout: int
+    input_weight: float
     weight_variance: float
     multiplier: float
     participation: float      # %
@@ -35,12 +35,14 @@ class SweepPoint:
 def sweep_regime(
     spikes: np.ndarray,
     base_cfg: ReservoirConfig,
-    input_densities: Sequence[float],
-    input_gains: Sequence[float],
+    input_fanouts: Sequence[int],
+    input_weights: Sequence[float],
     weight_variances: Sequence[float],
-    multiplier: float = 0.6,
+    multipliers: Sequence[float] = (0.6,),
     n_probe: int = 8,
 ) -> List[SweepPoint]:
+    import sys
+
     import jax.numpy as jnp
 
     from lsm_tpu.models.reservoir import simulate_batch
@@ -48,13 +50,15 @@ def sweep_regime(
     probe = jnp.asarray(spikes[:n_probe])
     n_channels = spikes.shape[1]
     out: List[SweepPoint] = []
-    for dens, gain, wv in itertools.product(
-        input_densities, input_gains, weight_variances
+    for fo, wi, wv, mult in itertools.product(
+        input_fanouts, input_weights, weight_variances, multipliers
     ):
+        print(f"... sweeping fanout={fo} w_in={wi} wv={wv} mult={mult}",
+              file=sys.stderr, flush=True)
         cfg = dataclasses.replace(
-            base_cfg, input_density=dens, input_gain=gain, weight_variance=wv
+            base_cfg, input_fanout=fo, input_weight=wi, weight_variance=wv
         )
-        _, mw = calibrate_weight(cfg, jnp.asarray(spikes), multiplier)
+        _, mw = calibrate_weight(cfg, jnp.asarray(spikes), mult)
         params = res.init_reservoir(cfg, n_channels, mean_weight=mw)
         stats = simulate_batch(params, probe)
         counts = np.asarray(stats["all_counts"])
@@ -64,5 +68,5 @@ def sweep_regime(
             "SUB-CRITICAL" if part < 40 else
             "SUPER-CRITICAL" if part > 98 else "EDGE OF CHAOS"
         )
-        out.append(SweepPoint(dens, gain, wv, multiplier, part, rate, regime))
+        out.append(SweepPoint(fo, wi, wv, mult, part, rate, regime))
     return out

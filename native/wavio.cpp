@@ -1,0 +1,246 @@
+// Native batch WAV decoder for the lsm_tpu data loader.
+//
+// TPU-native counterpart of the reference's audio ingest layer: where the
+// reference leans on libsndfile/soxr via librosa (create_dataset.py:26),
+// this library decodes many RIFF/WAVE files in parallel worker threads,
+// downmixes to mono, linearly resamples to the target rate, and
+// pads/truncates into one contiguous (n, target_len) float32 batch ready
+// for jax.device_put. Exposed via a C ABI consumed with ctypes
+// (lsm_tpu/io/native.py).
+//
+// Supported encodings: PCM 8/16/24/32-bit and IEEE float32/64, any channel
+// count. Per-file failures set ok[i] = 0 and zero the row instead of
+// aborting the batch (matching the reference's skip-on-error contract,
+// create_dataset.py:34-36).
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Chunk {
+  const uint8_t* data;
+  size_t size;
+};
+
+bool read_file(const char* path, std::vector<uint8_t>& buf) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  if (n < 0) {
+    std::fclose(f);
+    return false;
+  }
+  std::fseek(f, 0, SEEK_SET);
+  buf.resize(static_cast<size_t>(n));
+  size_t got = n ? std::fread(buf.data(), 1, static_cast<size_t>(n), f) : 0;
+  std::fclose(f);
+  return got == static_cast<size_t>(n);
+}
+
+inline uint32_t rd_u32(const uint8_t* p) {
+  return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+         (static_cast<uint32_t>(p[2]) << 16) |
+         (static_cast<uint32_t>(p[3]) << 24);
+}
+inline uint16_t rd_u16(const uint8_t* p) {
+  return static_cast<uint16_t>(p[0]) | (static_cast<uint16_t>(p[1]) << 8);
+}
+
+// Decode to mono float32 at the file's native rate. Returns false on error.
+bool decode_wav_mono(const std::vector<uint8_t>& raw, std::vector<float>& out,
+                     uint32_t* rate_out) {
+  if (raw.size() < 44 || std::memcmp(raw.data(), "RIFF", 4) != 0 ||
+      std::memcmp(raw.data() + 8, "WAVE", 4) != 0)
+    return false;
+
+  uint16_t fmt = 0, channels = 0, bits = 0;
+  uint32_t rate = 0;
+  const uint8_t* data = nullptr;
+  size_t data_size = 0;
+
+  size_t pos = 12;
+  while (pos + 8 <= raw.size()) {
+    const uint8_t* cid = raw.data() + pos;
+    uint32_t size = rd_u32(raw.data() + pos + 4);
+    if (pos + 8 + size > raw.size()) size = static_cast<uint32_t>(raw.size() - pos - 8);
+    const uint8_t* body = raw.data() + pos + 8;
+    if (std::memcmp(cid, "fmt ", 4) == 0 && size >= 16) {
+      fmt = rd_u16(body);
+      channels = rd_u16(body + 2);
+      rate = rd_u32(body + 4);
+      bits = rd_u16(body + 14);
+      if (fmt == 0xFFFE) fmt = 1;  // WAVE_FORMAT_EXTENSIBLE: assume PCM
+    } else if (std::memcmp(cid, "data", 4) == 0) {
+      data = body;
+      data_size = size;
+    }
+    pos += 8 + size + (size & 1);
+  }
+  if (!data || channels == 0 || rate == 0) return false;
+
+  size_t bytes_per = bits / 8;
+  if (bytes_per == 0) return false;
+  size_t n_frames = data_size / (bytes_per * channels);
+  out.resize(n_frames);
+  const float inv_ch = 1.0f / static_cast<float>(channels);
+
+  if (fmt == 1 && bits == 16) {
+    for (size_t i = 0; i < n_frames; ++i) {
+      float acc = 0.0f;
+      const uint8_t* p = data + i * 2 * channels;
+      for (int c = 0; c < channels; ++c) {
+        int16_t v = static_cast<int16_t>(rd_u16(p + 2 * c));
+        acc += static_cast<float>(v);
+      }
+      out[i] = acc * inv_ch / 32768.0f;
+    }
+  } else if (fmt == 1 && bits == 8) {
+    for (size_t i = 0; i < n_frames; ++i) {
+      float acc = 0.0f;
+      const uint8_t* p = data + i * channels;
+      for (int c = 0; c < channels; ++c)
+        acc += static_cast<float>(p[c]) - 128.0f;
+      out[i] = acc * inv_ch / 128.0f;
+    }
+  } else if (fmt == 1 && bits == 24) {
+    for (size_t i = 0; i < n_frames; ++i) {
+      float acc = 0.0f;
+      const uint8_t* p = data + i * 3 * channels;
+      for (int c = 0; c < channels; ++c) {
+        const uint8_t* q = p + 3 * c;
+        int32_t v = static_cast<int32_t>(q[0]) | (static_cast<int32_t>(q[1]) << 8) |
+                    (static_cast<int32_t>(q[2]) << 16);
+        if (v >= (1 << 23)) v -= (1 << 24);
+        acc += static_cast<float>(v);
+      }
+      out[i] = acc * inv_ch / 8388608.0f;
+    }
+  } else if (fmt == 1 && bits == 32) {
+    for (size_t i = 0; i < n_frames; ++i) {
+      float acc = 0.0f;
+      const uint8_t* p = data + i * 4 * channels;
+      for (int c = 0; c < channels; ++c) {
+        int32_t v = static_cast<int32_t>(rd_u32(p + 4 * c));
+        acc += static_cast<float>(v);
+      }
+      out[i] = acc * inv_ch / 2147483648.0f;
+    }
+  } else if (fmt == 3 && bits == 32) {
+    for (size_t i = 0; i < n_frames; ++i) {
+      float acc = 0.0f;
+      const uint8_t* p = data + i * 4 * channels;
+      for (int c = 0; c < channels; ++c) {
+        float v;
+        std::memcpy(&v, p + 4 * c, 4);
+        acc += v;
+      }
+      out[i] = acc * inv_ch;
+    }
+  } else if (fmt == 3 && bits == 64) {
+    for (size_t i = 0; i < n_frames; ++i) {
+      double acc = 0.0;
+      const uint8_t* p = data + i * 8 * channels;
+      for (int c = 0; c < channels; ++c) {
+        double v;
+        std::memcpy(&v, p + 8 * c, 8);
+        acc += v;
+      }
+      out[i] = static_cast<float>(acc * inv_ch);
+    }
+  } else {
+    return false;
+  }
+  *rate_out = rate;
+  return true;
+}
+
+// Linear resample matching lsm_tpu.io.wav.resample_linear.
+void resample_linear(const std::vector<float>& x, uint32_t src, uint32_t dst,
+                     std::vector<float>& y) {
+  if (src == dst) {
+    y = x;
+    return;
+  }
+  size_t n_out = static_cast<size_t>(
+      static_cast<double>(x.size()) * dst / src + 0.5);
+  if (n_out <= 1 || x.size() <= 1) {
+    y.assign(n_out, 0.0f);
+    return;
+  }
+  y.resize(n_out);
+  double step = static_cast<double>(x.size() - 1) / (n_out - 1);
+  for (size_t i = 0; i < n_out; ++i) {
+    double pos = i * step;
+    size_t lo = static_cast<size_t>(pos);
+    if (lo > x.size() - 2) lo = x.size() - 2;
+    float frac = static_cast<float>(pos - lo);
+    y[i] = x[lo] * (1.0f - frac) + x[lo + 1] * frac;
+  }
+}
+
+void process_one(const char* path, int sample_rate, double duration,
+                 int target_len, float* row, int* ok) {
+  std::vector<uint8_t> raw;
+  std::vector<float> mono, res;
+  std::memset(row, 0, sizeof(float) * target_len);
+  *ok = 0;
+  if (!read_file(path, raw)) return;
+  uint32_t rate = 0;
+  if (!decode_wav_mono(raw, mono, &rate)) return;
+  // Truncate at the source rate first (librosa duration semantics).
+  size_t max_src = static_cast<size_t>(duration * rate);
+  if (mono.size() > max_src) mono.resize(max_src);
+  resample_linear(mono, rate, static_cast<uint32_t>(sample_rate), res);
+  size_t n = res.size() < static_cast<size_t>(target_len)
+                 ? res.size()
+                 : static_cast<size_t>(target_len);
+  std::memcpy(row, res.data(), n * sizeof(float));
+  *ok = 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode `n` files into out[n * target_len]; ok[i] = 1 on success.
+// Returns the number of successfully decoded files.
+int wavio_decode_batch(const char** paths, int n, int sample_rate,
+                       double duration, int target_len, float* out, int* ok,
+                       int n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > n) n_threads = n > 0 ? n : 1;
+
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      process_one(paths[i], sample_rate, duration, target_len,
+                  out + static_cast<size_t>(i) * target_len, ok + i);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+  int n_ok = 0;
+  for (int i = 0; i < n; ++i) n_ok += ok[i];
+  return n_ok;
+}
+
+int wavio_abi_version() { return 1; }
+
+}  // extern "C"

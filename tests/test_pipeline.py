@@ -29,7 +29,7 @@ def _small_cfg(n_classes=4, filterbank="mel"):
             num_neurons=256,
             num_output_neurons=128,
             small_world_k=50,
-            input_density=0.3,
+            input_fanout=6,
         ),
         feature_set="original",
         commands=tuple(f"class{i}" for i in range(n_classes)),

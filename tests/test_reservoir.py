@@ -60,8 +60,8 @@ def _small_params(seed=42, n=64, no=16, c=8):
         small_world_k=16,
         mean_weight=0.05,
         weight_variance=10.0,
-        input_density=0.4,
-        input_gain=2.0,
+        input_fanout=4,
+        input_weight=1.0,
         seed=seed,
     )
     return cfg, _quantize(res.init_reservoir(cfg, n_channels=c))
@@ -71,10 +71,14 @@ def test_watts_strogatz_degree_and_no_self_loops(rng):
     adj = res.watts_strogatz_adjacency(100, 20, 0.1, rng)
     assert adj.shape == (100, 100)
     assert not adj.diagonal().any()
-    assert (adj == adj.T).all()
-    # Mean degree close to k (rewiring preserves edge count up to collisions).
-    deg = adj.sum(axis=1)
-    assert 15 <= deg.mean() <= 20.5
+    # Directed graph: out-degree = k/2 (up to rewiring collisions), and the
+    # expected in-degree matches. beta = k/2 is the mean-field fan-in.
+    out_deg = adj.sum(axis=1)
+    in_deg = adj.sum(axis=0)
+    assert 8 <= out_deg.mean() <= 10.0
+    assert abs(in_deg.mean() - out_deg.mean()) < 1e-9
+    # Rewiring makes it asymmetric (a symmetric draw is astronomically rare).
+    assert not (adj == adj.T).all()
 
 
 def test_simulate_matches_numpy_oracle():
@@ -157,7 +161,7 @@ def test_refractory_period_enforced():
     # exactly `refractory` steps.
     cfg = ReservoirConfig(
         num_neurons=1, num_output_neurons=1, small_world_k=0, mean_weight=0.0,
-        input_density=1.0, input_gain=1.0, refractory_period=2,
+        input_fanout=1, input_weight=1.0, refractory_period=2,
         membrane_threshold=1.0,
     )
     params = res.init_reservoir(cfg, n_channels=1)

@@ -27,7 +27,7 @@ KEYS = tuple(FEATURE_SETS["original"])
 def _params(n=256, no=128, c=32, seed=0):
     cfg = ReservoirConfig(
         num_neurons=n, num_output_neurons=no, small_world_k=32,
-        mean_weight=0.02, input_density=0.3, seed=seed,
+        mean_weight=0.02, input_fanout=6, seed=seed,
     )
     return res.init_reservoir(cfg, n_channels=c)
 

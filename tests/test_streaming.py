@@ -1,0 +1,59 @@
+"""Streaming KWS tests: ring buffer semantics + parity with the batch path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lsm_tpu.config import FEATURE_SETS, FrontendConfig, ReservoirConfig
+from lsm_tpu.models import reservoir as res
+from lsm_tpu.models.frontend import featurize_batch
+from lsm_tpu.models.streaming import StreamingKWS
+from lsm_tpu.readout import logistic, scaler
+
+
+def _setup(n_streams=2):
+    fcfg = FrontendConfig(n_filters=16, filterbank="mel")
+    rcfg = ReservoirConfig(
+        num_neurons=128, num_output_neurons=64, small_world_k=16,
+        mean_weight=0.03,
+    )
+    params = res.init_reservoir(rcfg, n_channels=16)
+    d = 5 * 64
+    rng = np.random.default_rng(0)
+    readout = logistic.LogisticParams(
+        w=jnp.asarray(rng.normal(0, 0.1, (d, 4)).astype(np.float32)),
+        b=jnp.zeros((4,), jnp.float32),
+    )
+    st = scaler.ScalerState(
+        mean=jnp.zeros((d,), jnp.float32), scale=jnp.ones((d,), jnp.float32)
+    )
+    return StreamingKWS(params, readout, st, fcfg, "original", n_streams)
+
+
+def test_streaming_matches_batch_on_full_window(rng):
+    kws = _setup(n_streams=2)
+    audio = rng.standard_normal((2, 16000)).astype(np.float32) * 0.2
+    # Push in 4 chunks of 4000 samples.
+    for i in range(4):
+        kws.push(audio[:, i * 4000 : (i + 1) * 4000])
+    stream_logits = kws.logits()
+
+    # Batch path on the same window.
+    spikes = featurize_batch(jnp.asarray(audio), kws.fcfg)
+    feats = res.extract_features_batch(kws.params, spikes, kws.keys)
+    batch_logits = np.asarray(feats @ kws.readout.w + kws.readout.b)
+    np.testing.assert_allclose(stream_logits, batch_logits, rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_window_slides(rng):
+    kws = _setup(n_streams=1)
+    a = rng.standard_normal((1, 16000)).astype(np.float32) * 0.2
+    b = rng.standard_normal((1, 16000)).astype(np.float32) * 0.2
+    kws.push(a)
+    la = kws.logits()
+    kws.push(b)  # full-window push replaces the buffer
+    lb = kws.logits()
+    assert not np.allclose(la, lb)
+    kws.reset()
+    silent = kws.logits()
+    kws.push(np.zeros((1, 16000), np.float32))
+    np.testing.assert_allclose(silent, kws.logits(), atol=1e-5)

@@ -25,18 +25,30 @@ def main():
     spikes = np.asarray(featurize_batch(jnp.asarray(audio), fcfg))
     print(f"probe spikes: {spikes.shape} density={spikes.mean():.4f}")
 
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fanout", type=int, nargs="+", default=[2, 4, 8])
+    ap.add_argument("--w-in", type=float, nargs="+", default=[1.0])
+    ap.add_argument("--wvar", type=float, nargs="+", default=[10.0])
+    ap.add_argument("--multiplier", type=float, nargs="+", default=[0.3, 0.6, 1.0])
+    args = ap.parse_args()
+
     points = sweep_regime(
         spikes,
         ReservoirConfig(),
-        input_densities=[0.05, 0.1, 0.2, 0.3],
-        input_gains=[0.25, 0.5, 1.0, 2.0],
-        weight_variances=[1.0, 4.0, 10.0],
-        multiplier=0.6,
+        input_fanouts=args.fanout,
+        input_weights=args.w_in,
+        weight_variances=args.wvar,
+        multipliers=args.multiplier,
     )
-    print(f"{'dens':>6} {'gain':>6} {'wvar':>6} {'part%':>7} {'spk/n':>8} regime")
+    print(f"{'fo':>4} {'w_in':>6} {'wvar':>6} {'mult':>6} {'part%':>7} "
+          f"{'spk/n':>8} regime", flush=True)
     for p in sorted(points, key=lambda p: abs(p.participation - 88)):
-        print(f"{p.input_density:6.2f} {p.input_gain:6.2f} {p.weight_variance:6.1f} "
-              f"{p.participation:7.1f} {p.spikes_per_neuron:8.2f} {p.regime}")
+        print(f"{p.input_fanout:4d} {p.input_weight:6.2f} "
+              f"{p.weight_variance:6.1f} {p.multiplier:6.2f} "
+              f"{p.participation:7.1f} {p.spikes_per_neuron:8.2f} {p.regime}",
+              flush=True)
 
 
 if __name__ == "__main__":
