@@ -146,6 +146,67 @@ def gtgram_strides(fs: float, window_time: float, hop_time: float, n_samples: in
     return nwin, hop, n_cols
 
 
+@functools.lru_cache(maxsize=None)
+def _block_iir_matrices(fs: float, channels: int, f_min: float, L: int):
+    """Exact block-form matrices for the 4-biquad cascade, per channel.
+
+    The cascade is LTI with an 8-dim state (4 transposed-DF2 biquads x 2).
+    Over a block of L samples the input/output relation is linear:
+
+        y_block = x_block @ M_yx + s @ M_sy
+        s'      = x_block @ M_xs + s @ M_ss
+
+    The matrices are obtained numerically in float64 by running the exact
+    sequential filter on basis vectors (L input impulses + 8 state units) —
+    no algebra to get wrong, bit-exact vs. the scalar recurrence up to f32.
+    This turns the 16000-step sample recurrence into S/L sequential steps of
+    batched (B, L) x (L, L) matmuls per channel — MXU work instead of a
+    latency-bound scalar scan (the TPU-first formulation of an IIR).
+
+    Returns (M_yx (C,L,L), M_sy (C,8,L), M_xs (C,L,8), M_ss (C,8,8)) f32.
+    """
+    coeffs = make_erb_coeffs(fs, channels, f_min)
+    C = channels
+    # Distribute the 1/gain normalization evenly across the four stages
+    # (gain is astronomically small for gammatone filters, ~1e-12; folding
+    # it all into stage 0 makes that stage's internal TDF2 state reach 1e10,
+    # which float32/bf16 matmuls cannot survive). The cascade output is
+    # identical; only internal state scaling changes.
+    g4 = coeffs.gain ** 0.25
+    n0 = np.stack([coeffs.a0 / g4] * 4)
+    n1 = np.stack([coeffs.a1[k] / g4 for k in range(4)])
+    b1, b2 = coeffs.b1, coeffs.b2
+
+    # Basis batch: L impulse inputs + 8 unit states => N = L + 8 runs.
+    N = L + 8
+    x_basis = np.zeros((N, L))
+    x_basis[:L] = np.eye(L)
+    state = np.zeros((C, N, 4, 2))
+    for k in range(4):
+        for j in range(2):
+            state[:, L + 2 * k + j, k, j] = 1.0
+
+    y_out = np.zeros((C, N, L))
+    for t in range(L):
+        x = np.broadcast_to(x_basis[:, t], (C, N)).copy()
+        for k in range(4):
+            s1 = state[:, :, k, 0]
+            s2 = state[:, :, k, 1]
+            y = n0[k][:, None] * x + s1
+            state[:, :, k, 0] = n1[k][:, None] * x - b1[:, None] * y + s2
+            state[:, :, k, 1] = -b2[:, None] * y
+            x = y
+        y_out[:, :, t] = x
+
+    s_flat = state.reshape(C, N, 8)
+    return (
+        np.ascontiguousarray(y_out[:, :L]).astype(np.float32),       # (C, L, L)
+        np.ascontiguousarray(y_out[:, L:]).astype(np.float32),       # (C, 8, L)
+        np.ascontiguousarray(s_flat[:, :L]).astype(np.float32),      # (C, L, 8)
+        np.ascontiguousarray(s_flat[:, L:]).astype(np.float32),      # (C, 8, 8)
+    )
+
+
 def gtgram_iir(
     wave: jnp.ndarray,
     fs: float,
@@ -156,11 +217,12 @@ def gtgram_iir(
 ) -> jnp.ndarray:
     """Exact gammatone spectrogram. wave: (B, S) -> (B, C, n_cols).
 
-    The IIR cascade (transposed direct-form II) runs inside a lax.scan over
-    sub-blocks of g = gcd(hop, nwin) samples; each scan step advances g
-    samples with an unrolled inner loop and emits the sub-block energy sum
-    per (batch, channel). Window energies are then exact contiguous sums of
-    nwin/g sub-blocks.
+    Block-IIR formulation: a lax.scan over sub-blocks of g = gcd(hop, nwin)
+    samples where each step applies the exact block-form cascade (see
+    _block_iir_matrices) as batched matmuls and emits the sub-block energy
+    sum per (batch, channel). Window energies are then exact contiguous
+    sums of nwin/g sub-blocks. The full-rate filtered signal never
+    materializes in HBM.
     """
     B, S = wave.shape
     nwin, hop, n_cols = gtgram_strides(fs, window_time, hop_time, S)
@@ -171,48 +233,38 @@ def gtgram_iir(
     if pad:
         wave = jnp.pad(wave, ((0, 0), (0, pad)))
 
-    coeffs = make_erb_coeffs(fs, channels, f_min)
-    a0 = jnp.asarray(coeffs.a0, jnp.float32)                   # (C,)
-    a1 = jnp.asarray(coeffs.a1, jnp.float32)                   # (4, C)
-    b1 = jnp.asarray(coeffs.b1, jnp.float32)
-    b2 = jnp.asarray(coeffs.b2, jnp.float32)
-    inv_gain = jnp.asarray(1.0 / coeffs.gain, jnp.float32)
+    m_yx, m_sy, m_xs, m_ss = (
+        jnp.asarray(m) for m in _block_iir_matrices(fs, channels, f_min, g)
+    )
 
-    # Stage-0 numerator folds in 1/gain.
-    n0 = jnp.stack([a0 * inv_gain, a0, a0, a0])                # (4, C)
-    n1 = jnp.stack([a1[0] * inv_gain, a1[1], a1[2], a1[3]])    # (4, C)
+    # (n_sub, B, g): scan-major layout. The wave is shared across channels;
+    # the channel axis appears through the per-channel block matrices.
+    blocks = wave.reshape(B, n_sub, g).transpose(1, 0, 2)
 
-    # (n_sub, g, B): scan-major layout.
-    blocks = wave.reshape(B, n_sub, g).transpose(1, 2, 0)
+    # Full float32 matmul precision: the TPU default (bf16 operands) loses
+    # the cancellation structure of near-unit-circle IIR recurrences and the
+    # state drifts audibly over 200 block steps.
+    hi = jax.lax.Precision.HIGHEST
 
-    def biquad_chain(x, state):
-        """One sample through 4 cascaded biquads. x: (B, C); state: (B, C, 4, 2)."""
-        new_s = []
-        for k in range(4):
-            s1 = state[..., k, 0]
-            s2 = state[..., k, 1]
-            y = n0[k] * x + s1
-            s1n = n1[k] * x - b1 * y + s2
-            s2n = -b2 * y
-            new_s.append(jnp.stack([s1n, s2n], axis=-1))
-            x = y
-        return x, jnp.stack(new_s, axis=-2)
+    def step(state, x_block):
+        # state: (B, C, 8); x_block: (B, g).
+        # y = x @ M_yx[c] + s @ M_sy[c]  per channel — batched MXU matmuls.
+        y = (
+            jnp.einsum("bl,clm->bcm", x_block, m_yx, precision=hi,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bcs,csm->bcm", state, m_sy, precision=hi,
+                         preferred_element_type=jnp.float32)
+        )
+        new_state = (
+            jnp.einsum("bl,cls->bcs", x_block, m_xs, precision=hi,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bcs,cst->bct", state, m_ss, precision=hi,
+                         preferred_element_type=jnp.float32)
+        )
+        energy = jnp.sum(y * y, axis=-1)                       # (B, C)
+        return new_state, energy
 
-    def step(state, block):
-        # Inner scan over the g samples of this sub-block: keeps the traced
-        # program one biquad step regardless of g (compile-time matters —
-        # an unrolled inner loop multiplies HLO size by g).
-        def inner(carry, x_row):
-            st, energy = carry
-            x = jnp.broadcast_to(x_row[:, None], (B, channels))
-            y, st = biquad_chain(x, st)
-            return (st, energy + y * y), None
-
-        zero_e = jnp.zeros((B, channels), jnp.float32)
-        (state, energy), _ = jax.lax.scan(inner, (state, zero_e), block)
-        return state, energy
-
-    init = jnp.zeros((B, channels, 4, 2), jnp.float32)
+    init = jnp.zeros((B, channels, 8), jnp.float32)
     _, sub_energy = jax.lax.scan(step, init, blocks)           # (n_sub, B, C)
     sub_energy = sub_energy.transpose(1, 2, 0)                 # (B, C, n_sub)
 
