@@ -148,12 +148,21 @@ def simulate_batch(
     params: ReservoirParams,
     spikes_in: jnp.ndarray,
     compute_dtype: jnp.dtype = jnp.float32,
+    matmul_dtype: Optional[jnp.dtype] = jnp.bfloat16,
 ) -> Dict[str, jnp.ndarray]:
     """Run the reservoir over a spike-train batch with streaming statistics.
 
     Args:
       params: reservoir parameters.
       spikes_in: (B, C, T) uint8/bool input spike trains.
+      compute_dtype: dtype of the membrane state (keep float32).
+      matmul_dtype: operand dtype for the recurrent/input matmuls, with
+        float32 accumulation. bfloat16 (default) runs the MXU at full rate:
+        spike vectors are exactly representable (0/1) and a 0.4% relative
+        rounding of the random weights is statistically irrelevant to a
+        random reservoir — validated by the regime diagnostics and
+        end-to-end accuracy (tests/test_pipeline.py). Pass None/float32 for
+        exact f32 (the NumPy-oracle tests use this).
     Returns:
       dict of raw accumulators, each (B, n_outputs) float32 unless noted:
         counts, sum_t, sum_t2, first (inf if silent), last (-1 if silent),
@@ -172,8 +181,9 @@ def simulate_batch(
     # Precompute nothing big: scan consumes (T, B, C_pad).
     xs_t = jnp.moveaxis(x, -1, 0)
 
-    w_rec = params.w_rec.astype(compute_dtype)
-    w_in = params.w_in.astype(compute_dtype)
+    mm = matmul_dtype or compute_dtype
+    w_rec = params.w_rec.astype(mm)
+    w_in = params.w_in.astype(mm)
     leak_keep = (1.0 - params.leak).astype(compute_dtype)
     thr = params.threshold
 
@@ -182,8 +192,8 @@ def simulate_batch(
         v, refrac, s_prev, st = carry
 
         drive = (
-            jnp.dot(s_prev, w_rec, preferred_element_type=jnp.float32)
-            + jnp.dot(x_t, w_in, preferred_element_type=jnp.float32)
+            jnp.dot(s_prev.astype(mm), w_rec, preferred_element_type=jnp.float32)
+            + jnp.dot(x_t.astype(mm), w_in, preferred_element_type=jnp.float32)
         ).astype(compute_dtype)
 
         active = refrac == 0
@@ -250,7 +260,10 @@ def simulate_batch(
         init_stats,
     )
     ts = jnp.arange(T, dtype=jnp.int32)
-    (_, _, _, st), _ = jax.lax.scan(step, init, (xs_t, ts))
+    # unroll: replaying a few steps per loop iteration lets XLA keep the
+    # (B, N) carry in registers/VMEM across them instead of round-tripping
+    # HBM every step — the scan is bandwidth-bound, not matmul-bound.
+    (_, _, _, st), _ = jax.lax.scan(step, init, (xs_t, ts), unroll=4)
     st = dict(st)
     st.pop("prev_t")
     st["all_counts"] = st["all_counts"][:, : params.n_neurons]
@@ -297,13 +310,16 @@ def features_from_stats(
     return jnp.concatenate([derived[k] for k in feature_keys], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("feature_keys", "compute_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("feature_keys", "compute_dtype", "matmul_dtype")
+)
 def extract_features_batch(
     params: ReservoirParams,
     spikes_in: jnp.ndarray,
     feature_keys: Tuple[str, ...],
     compute_dtype: jnp.dtype = jnp.float32,
+    matmul_dtype: Optional[jnp.dtype] = jnp.bfloat16,
 ) -> jnp.ndarray:
     """spikes (B, C, T) -> features (B, len(keys) * n_outputs)."""
-    stats = simulate_batch(params, spikes_in, compute_dtype)
+    stats = simulate_batch(params, spikes_in, compute_dtype, matmul_dtype)
     return features_from_stats(stats, feature_keys)

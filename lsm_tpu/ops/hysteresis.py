@@ -54,23 +54,28 @@ def hysteresis_encode(
     n_thr = len(thr)
     t_len = spec.shape[-1]
 
-    x = spec[..., None, :, :]                       # (..., 1, F, T)
+    # Layout: scan along TIME with the filter axis minormost — F is a
+    # multiple of the 128-lane VPU width in practice, while T=100 is not;
+    # scanning along a non-lane-aligned minor axis costs a relayout per
+    # combine pass.
+    xt = jnp.swapaxes(spec, -1, -2)                 # (..., T, F)
+    x = xt[..., None, :, :]                         # (..., 1, T, F)
     thr_col = jnp.asarray(thr.copy()).reshape(
         (1,) * (spec.ndim - 2) + (n_thr, 1, 1)
     )
     rising = x > thr_col                            # b_t
     holdable = x >= (thr_col - gap)                 # c_t  (NOT falling)
 
-    # Associative scan along time (last axis). Initial state active=False, so
-    # the scanned prefix value b directly equals active_t.
+    # Associative scan along time. Initial state active=False, so the
+    # scanned prefix value b directly equals active_t.
     b, _ = jax.lax.associative_scan(
-        lambda l, r: _compose(l, r), (rising, holdable), axis=-1
+        lambda l, r: _compose(l, r), (rising, holdable), axis=-2
     )
-    active = b                                       # (..., n_thr, F, T) bool
+    active = b                                       # (..., n_thr, T, F) bool
 
     # Interleave: output column = time_bin * n_thr + t_idx.
-    # (..., n_thr, F, T) -> (..., F, T, n_thr) -> (..., F, T * n_thr)
-    out = jnp.moveaxis(active, -3, -1)
+    # (..., n_thr, T, F) -> (..., F, T, n_thr) -> (..., F, T * n_thr)
+    out = jnp.moveaxis(jnp.moveaxis(active, -1, -3), (-2, -1), (-1, -2))
     out = out.reshape(out.shape[:-2] + (t_len * n_thr,))
     return out.astype(jnp.uint8)
 

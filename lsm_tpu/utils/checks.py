@@ -1,0 +1,63 @@
+"""Numerical invariant checking (SURVEY.md section 5.2).
+
+The reference is single-threaded NumPy and has nothing to race; its failure
+mode is silent NaN propagation (it papers over NaNs with np.nan_to_num at
+extract_lsm_features.py:85). Here, functional purity removes data races by
+construction, and this module provides the sanitizer analogue for numerics:
+`checkify`-wrapped variants of the stage functions that turn NaN/Inf and
+invariant violations into hard, located errors, for use in tests and
+debugging runs (they cost a pass over the data; production paths stay
+unchecked).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import checkify
+
+
+def checked(fn: Callable, *static_argnames: str) -> Callable:
+    """Wrap a stage function with float checks; returns (err, out) semantics
+    collapsed into raise-on-error."""
+
+    def wrapper(*args, **kwargs):
+        f = checkify.checkify(
+            lambda *a, **k: fn(*a, **k),
+            errors=checkify.float_checks,
+        )
+        err, out = f(*args, **kwargs)
+        err.throw()
+        return out
+
+    return wrapper
+
+
+def assert_finite(name: str, x: jnp.ndarray) -> None:
+    """In-graph finiteness check (debug builds / tests)."""
+    checkify.check(
+        jnp.all(jnp.isfinite(x)), f"{name} contains non-finite values"
+    )
+
+
+def assert_spike_invariants(spikes: jnp.ndarray) -> None:
+    """Spike trains must be binary uint8."""
+    checkify.check(
+        jnp.all((spikes == 0) | (spikes == 1)),
+        "spike train values must be 0/1",
+    )
+
+
+def validate_features_host(features) -> Tuple[bool, str]:
+    """Host-side post-hoc validation used by the pipeline's debug flag."""
+    import numpy as np
+
+    f = np.asarray(features)
+    if not np.isfinite(f).all():
+        n = int((~np.isfinite(f)).sum())
+        return False, f"{n} non-finite feature values"
+    if f.std() == 0.0:
+        return False, "features are constant — reservoir produced no activity"
+    return True, "ok"

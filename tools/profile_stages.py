@@ -44,13 +44,19 @@ def main():
     params = res.init_reservoir(rcfg, n_channels=fcfg.n_filters,
                                 mean_weight=0.0118)
 
+    @jax.jit
+    def _checksum(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(l, dtype=jnp.float32) for l in leaves)
+
     def force(out):
         # Reduce to a scalar and pull it to host: under the axon relay,
         # block_until_ready on a large device buffer can return before the
         # producing computation has run; a host-materialized data-dependent
-        # scalar cannot lie.
-        leaves = jax.tree_util.tree_leaves(out)
-        return float(sum(jnp.sum(l.astype(jnp.float32)) for l in leaves))
+        # scalar cannot lie. The reduction is jitted so it is one fused pass
+        # (an eager astype+sum would add hundreds of ms of HBM traffic and
+        # dominate the measurement).
+        return float(_checksum(out))
 
     def timed(name, fn, *a):
         out = fn(*a)
