@@ -29,6 +29,10 @@ def main() -> None:
     add_extension_flags(parser)
     parser.add_argument("--output", type=str,
                         default=artifacts.SPIKE_DATASET_FILENAME)
+    parser.add_argument("--sharded-output", type=str, default=None,
+                        help="Write an incrementally-sharded dataset dir "
+                             "instead of one .npz (for 100k+ utterances).")
+    parser.add_argument("--shard-size", type=int, default=8192)
     args = parser.parse_args()
     setup_logging()
     cfg = build_config(args)
@@ -45,12 +49,21 @@ def main() -> None:
         ds = artifacts.SpikeDataset(x_spikes=spikes, y_labels=labels)
         artifacts.save_spike_dataset(Path(args.output), ds)
     else:
-        ds = create_spike_dataset(cfg, Path(args.data_dir), Path(args.output))
+        ds = create_spike_dataset(
+            cfg,
+            Path(args.data_dir),
+            None if args.sharded_output else Path(args.output),
+            sharded_output=(
+                Path(args.sharded_output) if args.sharded_output else None
+            ),
+            shard_size=args.shard_size,
+        )
 
     print("\nDataset created successfully.")
     print(f"  Shape: {ds.x_spikes.shape}")
     print(f"  Avg spikes per sample: {ds.x_spikes.sum() / len(ds.x_spikes):.1f}")
-    print(f"Saved to '{args.output}'")
+    dest = args.sharded_output if getattr(args, "sharded_output", None) else args.output
+    print(f"Saved to '{dest}'")
 
 
 if __name__ == "__main__":

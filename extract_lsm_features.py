@@ -17,7 +17,7 @@ from lsm_tpu.cli.common import (
     setup_logging,
 )
 from lsm_tpu.io import artifacts
-from lsm_tpu.pipeline import extract_lsm_features
+from lsm_tpu.pipeline import extract_lsm_features, load_spike_dataset_any
 
 
 def main() -> None:
@@ -34,7 +34,7 @@ def main() -> None:
     cfg = build_config(args)
 
     try:
-        ds = artifacts.load_spike_dataset(Path(args.input))
+        ds = load_spike_dataset_any(Path(args.input))
     except FileNotFoundError as e:
         print(f"Error: {e}")
         return

@@ -53,11 +53,15 @@ def create_spike_dataset(
     cfg: PipelineConfig,
     base_path: Path,
     output_path: Optional[Path] = None,
+    sharded_output: Optional[Path] = None,
+    shard_size: int = 8192,
 ) -> artifacts.SpikeDataset:
     """Featurize a Speech Commands-style directory tree into spike trains.
 
     Equivalent of create_dataset.py:107-177, but batched: files are decoded
-    in large chunks and featurized with one jitted call per chunk.
+    in large chunks and featurized with one jitted call per chunk. With
+    `sharded_output`, shards are written incrementally (constant host
+    memory) for 100k-utterance-scale corpora (SURVEY.md section 5.4).
     """
     idx = dataset.index_speech_commands(
         base_path, cfg.commands, cfg.max_samples_per_class
@@ -67,10 +71,16 @@ def create_spike_dataset(
     if not idx.files:
         raise RuntimeError("No audio files were successfully processed.")
 
+    writer = None
+    if sharded_output is not None:
+        from lsm_tpu.io.sharded import ShardedSpikeDatasetWriter
+
+        writer = ShardedSpikeDatasetWriter(sharded_output, shard_size)
+
     fcfg = cfg.frontend
     bs = cfg.batch_size
     spikes_out, labels_out = [], []
-    total_spikes = 0.0
+    n_total = 0
     t0 = time.perf_counter()
     for start, stop in _batched(len(idx.files), bs):
         audio, kept, errors = load_audio_batch(
@@ -83,9 +93,24 @@ def create_spike_dataset(
         padded, n_real = _pad_batch(audio, bs)
         spikes = featurize_batch(jnp.asarray(padded), fcfg)
         spikes = np.asarray(spikes[:n_real])
-        spikes_out.append(spikes)
-        labels_out.append(idx.labels[start:stop][kept])
-        total_spikes += float(spikes.sum())
+        labels = idx.labels[start:stop][kept]
+        n_total += n_real
+        if writer is not None:
+            writer.append(spikes, labels)
+        else:
+            spikes_out.append(spikes)
+            labels_out.append(labels)
+
+    if writer is not None:
+        manifest = writer.close()
+        dt = time.perf_counter() - t0
+        log.info("Sharded dataset: %d samples in %d shards (%.1f utt/s)",
+                 manifest["num_samples"], len(manifest["shards"]),
+                 n_total / max(dt, 1e-9))
+        from lsm_tpu.io.sharded import ShardedSpikeDataset
+
+        return ShardedSpikeDataset(sharded_output).load_all()
+
     if not spikes_out:
         raise RuntimeError("No audio files were successfully processed.")
 
@@ -100,6 +125,16 @@ def create_spike_dataset(
     if output_path is not None:
         artifacts.save_spike_dataset(output_path, ds)
     return ds
+
+
+def load_spike_dataset_any(path: Path) -> artifacts.SpikeDataset:
+    """Load either a classic .npz artifact or a sharded dataset directory."""
+    path = Path(path)
+    if path.is_dir():
+        from lsm_tpu.io.sharded import ShardedSpikeDataset
+
+        return ShardedSpikeDataset(path).load_all()
+    return artifacts.load_spike_dataset(path)
 
 
 def featurize_audio_array(

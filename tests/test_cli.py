@@ -1,0 +1,70 @@
+"""End-to-end CLI tests: the three stage scripts + artifacts as subprocesses.
+
+This exercises the exact reference-compatible surface (flags, artifact
+filenames, printed report). Small sizes keep it tractable on CPU.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, *args], cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=420,
+    )
+
+
+@pytest.mark.slow
+def test_cli_three_stage_pipeline(tmp_path):
+    ext = ["--synthetic", "--samples-per-class", "6", "--num-neurons", "256",
+           "--num-output-neurons", "128", "--batch-size", "64"]
+    r1 = _run(
+        [str(REPO / "create_dataset.py"), *ext, "--n-filters", "32",
+         "--filterbank", "mel"],
+        tmp_path,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "Dataset created successfully" in r1.stdout
+    assert (tmp_path / "speech_spike_dataset_pure_redundancy.npz").exists()
+
+    r2 = _run(
+        [str(REPO / "extract_lsm_features.py"), *ext,
+         "--feature-set", "original", "--multiplier", "0.6"],
+        tmp_path,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "w_critico" in r2.stdout
+    assert "DIAGNOSTIC" in r2.stdout
+    assert (tmp_path / "lsm_features_larger.npz").exists()
+
+    r3 = _run([str(REPO / "train_classifier.py")], tmp_path)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "Test Accuracy:" in r3.stdout
+    assert "precision" in r3.stdout  # classification report rendered
+
+    # Artifact schema check: exact reference keys.
+    data = np.load(tmp_path / "speech_spike_dataset_pure_redundancy.npz")
+    assert set(data.files) == {"X_spikes", "y_labels"}
+    assert data["X_spikes"].dtype == np.uint8
+    assert data["X_spikes"].shape[1:] == (32, 400)
+
+
+@pytest.mark.slow
+def test_cli_missing_artifact_messages(tmp_path):
+    r = _run([str(REPO / "train_classifier.py")], tmp_path)
+    assert r.returncode == 0
+    assert "Error: Dataset file not found" in r.stdout
+    r2 = _run([str(REPO / "extract_lsm_features.py")], tmp_path)
+    assert r2.returncode == 0
+    assert "Error" in r2.stdout
