@@ -73,7 +73,7 @@ def main() -> None:
     _, mean_weight = calibrate_weight(rcfg, spikes0, multiplier=0.6)
     params = res.init_reservoir(rcfg, n_channels=args.n_filters,
                                 mean_weight=mean_weight)
-    feats0 = res.extract_features_batch(params, spikes0, keys)
+    feats0 = res.extract_features(params, spikes0, keys)
     st = scaler.fit_scaler(feats0)
     train_x = scaler.transform(st, feats0)
     readout = logistic.fit_ridge(train_x, labels, num_classes=12, alpha=10.0)
@@ -85,7 +85,7 @@ def main() -> None:
     # --- the timed end-to-end inference path -------------------------------
     def e2e(audio_batch):
         spikes = featurize_batch(audio_batch, fcfg)
-        feats = res.extract_features_batch(params, spikes, keys)
+        feats = res.extract_features(params, spikes, keys)
         return logistic.predict(readout, scaler.transform(st, feats))
 
     e2e_jit = jax.jit(e2e)

@@ -287,9 +287,15 @@ def features_from_stats(
     safe_counts = jnp.maximum(counts, 1.0)
     safe_n_isi = jnp.maximum(n_isi, 1.0)
     mean_isi = stats["sum_isi"] / safe_n_isi
-    win = stats["win_counts"]
-    win_mean = jnp.mean(win, axis=-1)
-    win_var = jnp.mean(win * win, axis=-1) - win_mean * win_mean
+    if "win_counts" in stats:
+        win = stats["win_counts"]
+        win_mean = jnp.mean(win, axis=-1)
+        win_var = jnp.mean(win * win, axis=-1) - win_mean * win_mean
+    else:
+        # Streaming-moment form (Pallas kernel): per-window count moments.
+        nw = stats["n_win_used"]
+        win_mean = stats["win_sum"] / nw
+        win_var = stats["win_sum2"] / nw - win_mean * win_mean
 
     derived = {
         "spike_counts": counts,
@@ -308,6 +314,37 @@ def features_from_stats(
         "burst_counts": stats["bursts"],
     }
     return jnp.concatenate([derived[k] for k in feature_keys], axis=-1)
+
+
+def _pallas_lif_ok(params: "ReservoirParams", spikes_shape) -> bool:
+    """Conservative VMEM-fit gate for the fused Pallas LIF kernel."""
+    n_pad = params.w_rec.shape[0]
+    c_pad = params.w_in.shape[0]
+    t = spikes_shape[-1]
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    vmem = (
+        2 * n_pad * n_pad            # w_rec bf16
+        + t * 256 * c_pad            # input tile uint8 at B_TILE=256
+        + 8 * 256 * n_pad * 4        # states + stats headroom
+    )
+    return vmem < 48 * 1024 * 1024
+
+
+def extract_features(
+    params: "ReservoirParams",
+    spikes_in: jnp.ndarray,
+    feature_keys: Tuple[str, ...],
+) -> jnp.ndarray:
+    """Backend-dispatching feature extraction: the fused Pallas LIF kernel
+    on TPU when the reservoir fits VMEM, the XLA scan otherwise. Both
+    produce identical features (bf16 matmul operands, f32 state)."""
+    if _pallas_lif_ok(params, spikes_in.shape):
+        from lsm_tpu.ops.pallas.lif_kernel import simulate_batch_pallas
+
+        stats = simulate_batch_pallas(params, spikes_in)
+        return features_from_stats(stats, feature_keys)
+    return extract_features_batch(params, spikes_in, feature_keys)
 
 
 @functools.partial(

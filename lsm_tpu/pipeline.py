@@ -231,7 +231,7 @@ def extract_lsm_features(
         t0 = time.perf_counter()
         for start, stop in _batched(split.shape[0], cfg.batch_size):
             padded, n_real = _pad_batch(split[start:stop], cfg.batch_size)
-            feats = res.extract_features_batch(params, jnp.asarray(padded), keys)
+            feats = res.extract_features(params, jnp.asarray(padded), keys)
             out.append(np.asarray(feats[:n_real]))
         dt = time.perf_counter() - t0
         log.info("%s: %d samples in %.2fs (%.1f utt/s)",

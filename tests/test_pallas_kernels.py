@@ -31,3 +31,23 @@ def test_pallas_gtgram_matches_xla_interpret(rng):
 def test_pallas_supported_geometry():
     assert gk.pallas_supported(16000.0, 0.025, 0.01, 128, 16000)
     assert not gk.pallas_supported(16000.0, 0.025, 0.01, 100, 16000)
+
+
+def test_pallas_lif_matches_xla_interpret(rng):
+    from lsm_tpu.config import FEATURE_SETS, ReservoirConfig
+    from lsm_tpu.models import reservoir as res
+    from lsm_tpu.ops.pallas.lif_kernel import simulate_batch_pallas
+
+    cfg = ReservoirConfig(
+        num_neurons=256, num_output_neurons=128, small_world_k=32,
+        mean_weight=0.02, input_fanout=6,
+    )
+    params = res.init_reservoir(cfg, n_channels=32)
+    spikes = jnp.asarray((rng.random((8, 32, 40)) < 0.15).astype(np.uint8))
+    keys = tuple(FEATURE_SETS["all"])
+    ref = res.features_from_stats(
+        res.simulate_batch(params, spikes, matmul_dtype=jnp.bfloat16), keys
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = res.features_from_stats(simulate_batch_pallas(params, spikes), keys)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
