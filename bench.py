@@ -19,9 +19,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
-
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 

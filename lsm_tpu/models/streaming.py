@@ -16,13 +16,13 @@ section 5.7): longer audio just means more scan steps, O(1) state.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lsm_tpu.config import FEATURE_SETS, FrontendConfig, ReservoirConfig
+from lsm_tpu.config import FEATURE_SETS, FrontendConfig
 from lsm_tpu.models import reservoir as res
 from lsm_tpu.models.frontend import featurize_batch
 from lsm_tpu.readout import logistic, scaler

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lsm_tpu.ops.stft import frame_signal, hann_window
+from lsm_tpu.ops.stft import hann_window
 
 _EAR_Q = 9.26449
 _MIN_BW = 24.7

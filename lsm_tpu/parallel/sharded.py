@@ -17,13 +17,12 @@ communication is one (B_local, N/m) all-gather per step riding ICI.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from lsm_tpu.models.reservoir import ReservoirParams, features_from_stats
 from lsm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -174,6 +173,6 @@ def extract_features_model_sharded(
             P(DATA_AXIS, None, None),
         ),
         out_specs=P(DATA_AXIS, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(params.w_rec, params.w_in, params.leak, spikes)

@@ -16,13 +16,12 @@ the unit the driver's `dryrun_multichip` compiles and executes.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from lsm_tpu.models.reservoir import ReservoirParams, features_from_stats
 from lsm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -98,7 +97,7 @@ def make_train_step(
             P(), P(),                  # readout params replicated
         ),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     c_pad = params.w_in.shape[0]

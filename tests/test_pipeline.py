@@ -5,8 +5,6 @@ readout must classify distinct synthetic words far above chance, and the
 stage artifacts must round-trip through the reference .npz schemas.
 """
 
-import dataclasses
-
 import numpy as np
 import pytest
 

@@ -3,7 +3,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from lsm_tpu.config import FEATURE_SETS, FrontendConfig, ReservoirConfig
+from lsm_tpu.config import FrontendConfig, ReservoirConfig
 from lsm_tpu.models import reservoir as res
 from lsm_tpu.models.frontend import featurize_batch
 from lsm_tpu.models.streaming import StreamingKWS
