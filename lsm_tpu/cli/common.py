@@ -56,6 +56,10 @@ def add_extension_flags(p: argparse.ArgumentParser) -> None:
                    choices=["iir", "fft"])
     p.add_argument("--num-neurons", type=int, default=1000)
     p.add_argument("--num-output-neurons", type=int, default=400)
+    p.add_argument("--redundancy-factor", type=int, default=1,
+                   help="Duplicate each filter channel R times before the "
+                        "reservoir (reference REDUNDANCY_FACTOR, "
+                        "create_dataset.py:17; SPIKE_TRAIN_DATASET.md).")
 
 
 def build_config(args: argparse.Namespace) -> PipelineConfig:
@@ -64,6 +68,7 @@ def build_config(args: argparse.Namespace) -> PipelineConfig:
         n_filters=getattr(args, "n_filters", 128),
         filterbank=getattr(args, "filterbank", "gammatone"),
         gammatone_method=getattr(args, "gammatone_method", "iir"),
+        redundancy_factor=getattr(args, "redundancy_factor", 1),
     )
     n_neurons = getattr(args, "num_neurons", 1000)
     reservoir = ReservoirConfig(

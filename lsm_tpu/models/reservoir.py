@@ -102,7 +102,12 @@ def init_reservoir(
 
     adj = watts_strogatz_adjacency(n, cfg.small_world_k, cfg.small_world_p, rng)
     std = abs(mw) * np.sqrt(cfg.weight_variance)
-    weights = rng.normal(mw, std, size=(n, n)) * adj
+    # float32 draws: at 10k neurons this is a 100M-element matrix and the
+    # float64 path doubles both time and peak host memory for no benefit
+    # (weights are consumed as f32/bf16 on device).
+    weights = rng.standard_normal((n, n), dtype=np.float32) * np.float32(std)
+    weights += np.float32(mw)
+    weights *= adj
     w_rec = np.zeros((n_pad, n_pad), dtype=np.float32)
     w_rec[:n, :n] = weights
 

@@ -32,11 +32,19 @@ def main():
     ap.add_argument("--w-in", type=float, nargs="+", default=[1.0])
     ap.add_argument("--wvar", type=float, nargs="+", default=[10.0])
     ap.add_argument("--multiplier", type=float, nargs="+", default=[0.3, 0.6, 1.0])
+    ap.add_argument("--num-neurons", type=int, default=1000,
+                    help="Reservoir size (e.g. 10000 for the scaled config).")
     args = ap.parse_args()
 
+    n = args.num_neurons
+    base_cfg = ReservoirConfig(
+        num_neurons=n,
+        num_output_neurons=max(1, int(0.4 * n)),
+        small_world_k=int(0.10 * n * 2),
+    )
     points = sweep_regime(
         spikes,
-        ReservoirConfig(),
+        base_cfg,
         input_fanouts=args.fanout,
         input_weights=args.w_in,
         weight_variances=args.wvar,
