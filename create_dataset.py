@@ -15,6 +15,7 @@ from lsm_tpu.cli.common import (
     add_extension_flags,
     add_frontend_flags,
     build_config,
+    mesh_from_args,
     setup_logging,
 )
 from lsm_tpu.io import artifacts, dataset
@@ -36,6 +37,7 @@ def main() -> None:
     args = parser.parse_args()
     setup_logging()
     cfg = build_config(args)
+    mesh = mesh_from_args(args)
 
     print(f"Creating dataset with filterbank: {cfg.frontend.filterbank}, "
           f"filters: {cfg.frontend.n_filters}")
@@ -45,7 +47,7 @@ def main() -> None:
             n_per_class=min(args.samples_per_class, 200),
             n_classes=len(cfg.commands),
         )
-        spikes = featurize_audio_array(cfg, audio)
+        spikes = featurize_audio_array(cfg, audio, mesh=mesh)
         ds = artifacts.SpikeDataset(x_spikes=spikes, y_labels=labels)
         artifacts.save_spike_dataset(Path(args.output), ds)
     else:
@@ -57,6 +59,7 @@ def main() -> None:
                 Path(args.sharded_output) if args.sharded_output else None
             ),
             shard_size=args.shard_size,
+            mesh=mesh,
         )
 
     print("\nDataset created successfully.")

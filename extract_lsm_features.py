@@ -14,6 +14,7 @@ from lsm_tpu.cli.common import (
     add_extension_flags,
     add_extract_flags,
     build_config,
+    mesh_from_args,
     setup_logging,
 )
 from lsm_tpu.io import artifacts
@@ -40,7 +41,8 @@ def main() -> None:
         return
     print(f"Loaded {len(ds.x_spikes)} samples from '{args.input}'")
 
-    result = extract_lsm_features(cfg, ds, output_path=Path(args.output))
+    result = extract_lsm_features(cfg, ds, output_path=Path(args.output),
+                                  mesh=mesh_from_args(args))
     print(f"Extraction complete. Features saved to '{args.output}'")
 
 

@@ -60,6 +60,15 @@ def add_extension_flags(p: argparse.ArgumentParser) -> None:
                    help="Duplicate each filter channel R times before the "
                         "reservoir (reference REDUNDANCY_FACTOR, "
                         "create_dataset.py:17; SPIKE_TRAIN_DATASET.md).")
+    p.add_argument("--single-device", action="store_true",
+                   help="Disable the automatic data-parallel mesh and run "
+                        "every stage on one device (default: shard over "
+                        "all devices).")
+
+
+def mesh_from_args(args: argparse.Namespace):
+    """The pipeline `mesh` argument implied by the CLI flags."""
+    return None if getattr(args, "single_device", False) else "auto"
 
 
 def build_config(args: argparse.Namespace) -> PipelineConfig:

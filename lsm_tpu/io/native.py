@@ -43,7 +43,9 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not _LIB_PATH.exists() and not _build():
+        # Always run make: it is a dependency-checked no-op when the .so is
+        # current, and it prevents loading a binary stale vs wavio.cpp.
+        if not _build() and not _LIB_PATH.exists():
             _build_failed = True
             return None
         try:

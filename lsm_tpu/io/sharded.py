@@ -5,67 +5,153 @@ The reference's single compressed .npz works to ~10^4 utterances; the
 can be written incrementally, read shard-by-shard (streaming into device
 batches without materializing the corpus in host RAM), and resumed.
 
-Format: a directory with `manifest.json` plus `shard_{i:05d}.npz` files,
-each a standard spike-dataset .npz (same keys as the reference contract, so
-any shard is individually loadable by the classic loader).
+Format: a directory with `shard_{i:05d}.npz` files (each a standard
+spike-dataset .npz with the reference's exact keys, so any shard is
+individually loadable by the classic loader), a `journal.jsonl` appended
+after EVERY shard flush, and a `manifest.json` written on close. Crash
+recovery: the journal is the incremental manifest — an interrupted run
+loses only its unflushed buffer; re-running with `resume=True` picks up
+after the last journaled shard (each journal entry records the index of the
+last input file its shard consumed) and recomputes nothing that was
+already written.
 """
 
 from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Iterator, List, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
 from lsm_tpu.io.artifacts import SpikeDataset
 
 _MANIFEST = "manifest.json"
+_JOURNAL = "journal.jsonl"
+_FORMAT = "lsm_tpu.sharded_spike_dataset.v1"
 
 
 class ShardedSpikeDatasetWriter:
-    """Append batches; each flush writes one shard."""
+    """Append batches; each flush writes one shard + one journal line.
 
-    def __init__(self, root: Path, shard_size: int = 8192):
+    With `resume=True`, an existing journal is replayed: complete shards
+    (journal entry present AND shard file on disk) are kept, and
+    `resume_file_index` tells the caller the last input-file index already
+    featurized, so it can skip straight past it. Entries written without
+    file indices (legacy appends) cannot anchor a resume, so they force a
+    fresh start.
+    """
+
+    def __init__(self, root: Path, shard_size: int = 8192, resume: bool = False):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self.shard_size = shard_size
         self._x: List[np.ndarray] = []
         self._y: List[np.ndarray] = []
+        self._f: List[np.ndarray] = []
         self._buffered = 0
         self._shards: List[dict] = []
+        self.resume_file_index = -1
 
-    def append(self, x_spikes: np.ndarray, y_labels: np.ndarray) -> None:
+        if resume:
+            self._load_journal()
+        else:
+            # Fresh run: drop any stale journal/manifest so a crash of THIS
+            # run can't be confused with the previous one's state.
+            (self.root / _JOURNAL).unlink(missing_ok=True)
+            (self.root / _MANIFEST).unlink(missing_ok=True)
+
+    def _load_journal(self) -> None:
+        journal = self.root / _JOURNAL
+        if not journal.exists():
+            return
+        entries = []
+        for line in journal.read_text().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                e = json.loads(line)
+            except json.JSONDecodeError:
+                break  # truncated trailing line from a crash mid-append
+            if not (self.root / e["file"]).exists():
+                break  # journal ahead of disk (shouldn't happen; be safe)
+            if e.get("last_file_index", -1) < 0:
+                # Legacy entry without resume anchors: cannot resume safely.
+                entries = []
+                break
+            entries.append(e)
+        if entries:
+            self._shards = entries
+            self.resume_file_index = entries[-1]["last_file_index"]
+            # Rewrite the journal to exactly the validated prefix, dropping
+            # any truncated/orphaned tail.
+            with open(journal, "w") as f:
+                for e in entries:
+                    f.write(json.dumps(e) + "\n")
+        else:
+            (self.root / _JOURNAL).unlink(missing_ok=True)
+            (self.root / _MANIFEST).unlink(missing_ok=True)
+
+    def completed_shards(self) -> List[dict]:
+        return list(self._shards)
+
+    def append(
+        self,
+        x_spikes: np.ndarray,
+        y_labels: np.ndarray,
+        file_indices: Optional[np.ndarray] = None,
+    ) -> None:
+        """Buffer one batch. `file_indices` (per-sample indices into the
+        caller's input file list) anchor crash-resume; without them the
+        shards are still written but the run is not resumable."""
         if x_spikes.shape[0] != y_labels.shape[0]:
             raise ValueError("batch length mismatch")
+        if file_indices is None:
+            file_indices = np.full(x_spikes.shape[0], -1, np.int64)
+        elif len(file_indices) != x_spikes.shape[0]:
+            raise ValueError("file_indices length mismatch")
         self._x.append(np.asarray(x_spikes, np.uint8))
         self._y.append(np.asarray(y_labels, np.int32))
+        self._f.append(np.asarray(file_indices, np.int64))
         self._buffered += x_spikes.shape[0]
         while self._buffered >= self.shard_size:
             self._flush_shard(self.shard_size)
 
-    def _concat(self) -> Tuple[np.ndarray, np.ndarray]:
+    def _concat(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         x = np.concatenate(self._x, axis=0) if self._x else np.zeros((0,), np.uint8)
         y = np.concatenate(self._y, axis=0) if self._y else np.zeros((0,), np.int32)
-        return x, y
+        f = np.concatenate(self._f, axis=0) if self._f else np.zeros((0,), np.int64)
+        return x, y, f
 
     def _flush_shard(self, n: int) -> None:
-        x, y = self._concat()
+        x, y, f = self._concat()
         shard_x, rest_x = x[:n], x[n:]
         shard_y, rest_y = y[:n], y[n:]
+        shard_f, rest_f = f[:n], f[n:]
         idx = len(self._shards)
         name = f"shard_{idx:05d}.npz"
         np.savez_compressed(self.root / name, X_spikes=shard_x, y_labels=shard_y)
-        self._shards.append({"file": name, "num_samples": int(shard_x.shape[0])})
+        entry = {
+            "file": name,
+            "num_samples": int(shard_x.shape[0]),
+            "last_file_index": int(shard_f[-1]) if shard_f.shape[0] else -1,
+        }
+        self._shards.append(entry)
+        # The incremental manifest: journal the shard the moment it exists.
+        with open(self.root / _JOURNAL, "a") as jf:
+            jf.write(json.dumps(entry) + "\n")
+            jf.flush()
         self._x = [rest_x] if rest_x.shape[0] else []
         self._y = [rest_y] if rest_y.shape[0] else []
+        self._f = [rest_f] if rest_f.shape[0] else []
         self._buffered = int(rest_x.shape[0]) if rest_x.ndim else 0
 
     def close(self) -> dict:
         if self._buffered:
             self._flush_shard(self._buffered)
         manifest = {
-            "format": "lsm_tpu.sharded_spike_dataset.v1",
+            "format": _FORMAT,
             "num_samples": int(sum(s["num_samples"] for s in self._shards)),
             "shards": self._shards,
         }
@@ -74,20 +160,40 @@ class ShardedSpikeDatasetWriter:
 
 
 class ShardedSpikeDataset:
-    """Reader: iterate shards or fixed-size batches without loading all."""
+    """Reader: iterate shards or fixed-size batches without loading all.
+
+    Falls back to the journal when only it exists (e.g. inspecting a
+    crashed run's partial output)."""
 
     def __init__(self, root: Path):
         self.root = Path(root)
         manifest_path = self.root / _MANIFEST
-        if not manifest_path.exists():
-            raise FileNotFoundError(f"no manifest at {manifest_path}")
-        self.manifest = json.loads(manifest_path.read_text())
-        if self.manifest.get("format") != "lsm_tpu.sharded_spike_dataset.v1":
-            raise ValueError("unknown sharded dataset format")
+        if manifest_path.exists():
+            self.manifest = json.loads(manifest_path.read_text())
+            if self.manifest.get("format") != _FORMAT:
+                raise ValueError("unknown sharded dataset format")
+        elif (self.root / _JOURNAL).exists():
+            shards = [
+                json.loads(line)
+                for line in (self.root / _JOURNAL).read_text().splitlines()
+                if line.strip()
+            ]
+            self.manifest = {
+                "format": _FORMAT,
+                "num_samples": int(sum(s["num_samples"] for s in shards)),
+                "shards": shards,
+                "partial": True,
+            }
+        else:
+            raise FileNotFoundError(f"no manifest or journal at {self.root}")
 
     @property
     def num_samples(self) -> int:
         return self.manifest["num_samples"]
+
+    @property
+    def is_partial(self) -> bool:
+        return bool(self.manifest.get("partial", False))
 
     def iter_shards(self) -> Iterator[SpikeDataset]:
         for s in self.manifest["shards"]:

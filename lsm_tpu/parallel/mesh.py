@@ -37,6 +37,21 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def auto_mesh(min_devices: int = 2) -> Optional[Mesh]:
+    """The production default mesh: all devices on the data axis.
+
+    Returns None on a single device (the single-chip jit path needs no
+    mesh). The pipeline calls this so that `python main.py` on a v5e-8
+    shards every stage across the slice without any flags — the reference
+    is a serial one-process loop (extract_lsm_features.py:78), this is the
+    SURVEY.md section 2.4a data-parallel replacement.
+    """
+    n = jax.device_count()
+    if n < min_devices:
+        return None
+    return make_mesh(n_data=n, n_model=1)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis; replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -17,6 +17,7 @@ communication is one (B_local, N/m) all-gather per step riding ICI.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, Tuple
 
 import jax
@@ -40,6 +41,37 @@ def data_parallel_extract(
     spikes = jax.device_put(spikes, NamedSharding(mesh, P(DATA_AXIS)))
     params = jax.device_put(params, NamedSharding(mesh, P()))
     return extract_features_batch(params, spikes, feature_keys)
+
+
+def extract_features_dp(
+    params: ReservoirParams,
+    spikes: jax.Array,
+    feature_keys: Tuple[str, ...],
+    mesh: Mesh,
+) -> jax.Array:
+    """The PRODUCTION data-parallel extractor: shard_map over the data axis.
+
+    Unlike `data_parallel_extract` (which relies on jit auto-partitioning
+    of the XLA scan), this routes each device's local shard through the
+    backend-dispatching `extract_features`, so on TPU every chip runs the
+    fused Pallas LIF kernel on its shard. No collectives are needed — the
+    reservoir is independent per utterance; weights are replicated.
+    Requires the global batch divisible by the data-axis size.
+    """
+    from lsm_tpu.models.reservoir import extract_features
+
+    def local_fn(w_rec, w_in, leak, spikes_local):
+        p = dataclasses.replace(params, w_rec=w_rec, w_in=w_in, leak=leak)
+        return extract_features(p, spikes_local, feature_keys)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS, None, None)),
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,
+    )
+    return fn(params.w_rec, params.w_in, params.leak, spikes)
 
 
 def _simulate_model_sharded_local(

@@ -5,6 +5,14 @@ The reference chains three scripts via `os.system` and .npz files
 scripts are thin façades that preserve the reference's flags and artifact
 filenames, and the whole pipeline can also run fused in one process with no
 intermediate host round-trips.
+
+Every stage is data-parallel over the device mesh by default (SURVEY.md
+section 2.4a): with more than one device, `mesh="auto"` shards each compute
+batch along the mesh data axis — featurization and reservoir simulation are
+per-utterance independent (zero collectives), while the readout fit reduces
+its gradients across shards. On one device the single-chip jit path is used
+unchanged. The reference has no parallelism at all (serial per-sample loop,
+extract_lsm_features.py:78).
 """
 
 from __future__ import annotations
@@ -13,10 +21,12 @@ import dataclasses
 import logging
 import time
 from pathlib import Path
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh
 
 from lsm_tpu.config import FEATURE_SETS, PipelineConfig
 from lsm_tpu.io import artifacts, dataset
@@ -25,9 +35,32 @@ from lsm_tpu.models import reservoir as res
 from lsm_tpu.models.calibration import calibrate_weight
 from lsm_tpu.models.diagnostics import DiagnosticsReport, run_network_diagnostics
 from lsm_tpu.models.frontend import featurize_batch
+from lsm_tpu.parallel import mesh as meshlib
 from lsm_tpu.readout import logistic, metrics, scaler
 
 log = logging.getLogger("lsm_tpu")
+
+# `mesh` parameter convention for the stage functions below:
+#   "auto" (default) -> all devices on the data axis when >1 device;
+#   None             -> force the single-device path;
+#   a Mesh           -> use it as given.
+MeshArg = Union[str, None, Mesh]
+
+
+def _resolve_mesh(mesh: MeshArg) -> Optional[Mesh]:
+    if isinstance(mesh, str):
+        if mesh != "auto":
+            raise ValueError(f"unknown mesh spec: {mesh!r}")
+        return meshlib.auto_mesh()
+    return mesh
+
+
+def _effective_batch(batch_size: int, mesh: Optional[Mesh]) -> int:
+    """Round the compute batch up to a shard multiple of the data axis."""
+    if mesh is None:
+        return batch_size
+    n = mesh.shape[meshlib.DATA_AXIS]
+    return -(-batch_size // n) * n
 
 
 def _batched(n: int, batch_size: int):
@@ -44,6 +77,13 @@ def _pad_batch(x: np.ndarray, size: int) -> Tuple[np.ndarray, int]:
     return np.pad(x, pad), n
 
 
+def _place_batch(x: np.ndarray, mesh: Optional[Mesh]) -> jax.Array:
+    """Host batch -> device(s): sharded along the data axis under a mesh."""
+    if mesh is None:
+        return jnp.asarray(x)
+    return meshlib.shard_batch(np.asarray(x), mesh)
+
+
 # ---------------------------------------------------------------------------
 # Stage 1: audio files -> spike dataset
 # ---------------------------------------------------------------------------
@@ -54,14 +94,18 @@ def create_spike_dataset(
     output_path: Optional[Path] = None,
     sharded_output: Optional[Path] = None,
     shard_size: int = 8192,
+    mesh: MeshArg = "auto",
 ) -> artifacts.SpikeDataset:
     """Featurize a Speech Commands-style directory tree into spike trains.
 
     Equivalent of create_dataset.py:107-177, but batched: files are decoded
-    in large chunks and featurized with one jitted call per chunk. With
-    `sharded_output`, shards are written incrementally (constant host
-    memory) for 100k-utterance-scale corpora (SURVEY.md section 5.4).
+    in large chunks and featurized with one jitted call per chunk, sharded
+    over the device mesh. With `sharded_output`, shards are written
+    incrementally (constant host memory) for 100k-utterance-scale corpora
+    (SURVEY.md section 5.4), and an interrupted run resumes from the last
+    complete shard.
     """
+    mesh = _resolve_mesh(mesh)
     idx = dataset.index_speech_commands(
         base_path, cfg.commands, cfg.max_samples_per_class
     )
@@ -71,17 +115,26 @@ def create_spike_dataset(
         raise RuntimeError("No audio files were successfully processed.")
 
     writer = None
+    first_file = 0
     if sharded_output is not None:
         from lsm_tpu.io.sharded import ShardedSpikeDatasetWriter
 
-        writer = ShardedSpikeDatasetWriter(sharded_output, shard_size)
+        writer = ShardedSpikeDatasetWriter(sharded_output, shard_size, resume=True)
+        first_file = writer.resume_file_index + 1
+        if first_file:
+            log.info(
+                "Resuming featurization at file %d/%d (%d shards complete)",
+                first_file, len(idx.files), len(writer.completed_shards()),
+            )
 
     fcfg = cfg.frontend
-    bs = cfg.batch_size
+    bs = _effective_batch(cfg.batch_size, mesh)
     spikes_out, labels_out = [], []
     n_total = 0
     t0 = time.perf_counter()
-    for start, stop in _batched(len(idx.files), bs):
+    for start, stop in _batched(len(idx.files) - first_file, bs):
+        start += first_file
+        stop += first_file
         audio, kept, errors = load_audio_batch(
             idx.files[start:stop], fcfg.sample_rate, fcfg.duration
         )
@@ -90,12 +143,12 @@ def create_spike_dataset(
         if audio.shape[0] == 0:
             continue
         padded, n_real = _pad_batch(audio, bs)
-        spikes = featurize_batch(jnp.asarray(padded), fcfg)
+        spikes = featurize_batch(_place_batch(padded, mesh), fcfg)
         spikes = np.asarray(spikes[:n_real])
         labels = idx.labels[start:stop][kept]
         n_total += n_real
         if writer is not None:
-            writer.append(spikes, labels)
+            writer.append(spikes, labels, np.arange(start, stop)[kept])
         else:
             spikes_out.append(spikes)
             labels_out.append(labels)
@@ -137,14 +190,16 @@ def load_spike_dataset_any(path: Path) -> artifacts.SpikeDataset:
 
 
 def featurize_audio_array(
-    cfg: PipelineConfig, audio: np.ndarray
+    cfg: PipelineConfig, audio: np.ndarray, mesh: MeshArg = "auto"
 ) -> np.ndarray:
-    """(N, T_samples) float32 -> (N, C, T) uint8 spikes, batched jit calls."""
-    bs = cfg.batch_size
+    """(N, T_samples) float32 -> (N, C, T) uint8 spikes, batched jit calls
+    sharded data-parallel over the mesh."""
+    mesh = _resolve_mesh(mesh)
+    bs = _effective_batch(cfg.batch_size, mesh)
     out = []
     for start, stop in _batched(audio.shape[0], bs):
         padded, n_real = _pad_batch(audio[start:stop], bs)
-        spikes = featurize_batch(jnp.asarray(padded), cfg.frontend)
+        spikes = featurize_batch(_place_batch(padded, mesh), cfg.frontend)
         out.append(np.asarray(spikes[:n_real]))
     return np.concatenate(out, axis=0)
 
@@ -197,14 +252,30 @@ def extract_lsm_features(
     ds: artifacts.SpikeDataset,
     output_path: Optional[Path] = None,
     run_diagnostics: bool = True,
+    mesh: MeshArg = "auto",
 ) -> ExtractionResult:
-    """Equivalent of extract_lsm_features.py:155-214, batched and jitted."""
+    """Equivalent of extract_lsm_features.py:155-214, batched and jitted.
+
+    Under a mesh, the reservoir simulation shards data-parallel over
+    devices (each chip runs the fused LIF path on its batch shard; no
+    collectives — utterances are independent)."""
+    mesh = _resolve_mesh(mesh)
     x_train, x_test, y_train, y_test = stratified_split(
         ds.x_spikes, ds.y_labels, cfg.test_size, cfg.split_seed
     )
 
+    # The calibration reduction (one global spike sum over <=500 samples,
+    # extract_lsm_features.py:40-44) runs on the sharded batch; XLA lowers
+    # the sum to per-shard partials + an all-reduce. No batch padding here:
+    # avg_I divides by the element count, so padded zeros would dilute it —
+    # a non-divisible calibration subset just runs single-device (it is one
+    # cheap sum).
+    calib = x_train[: min(500, len(x_train))]
+    calib_mesh = mesh
+    if mesh is not None and len(calib) % mesh.shape[meshlib.DATA_AXIS] != 0:
+        calib_mesh = None
     wc, mean_weight = calibrate_weight(
-        cfg.reservoir, jnp.asarray(x_train), cfg.multiplier
+        cfg.reservoir, _place_batch(calib, calib_mesh), cfg.multiplier
     )
     log.info("Theoretical w_critico: %.8f", wc)
     log.info("Using weight: %.8f (multiplier: %.2f)", mean_weight, cfg.multiplier)
@@ -225,12 +296,23 @@ def extract_lsm_features(
     keys = tuple(FEATURE_SETS[cfg.feature_set])
     log.info("Extracting feature set: '%s'", cfg.feature_set)
 
+    bs = _effective_batch(cfg.batch_size, mesh)
+    if mesh is not None:
+        from lsm_tpu.parallel.sharded import extract_features_dp
+
+        params = jax.device_put(params, meshlib.replicated(mesh))
+
     def extract(split: np.ndarray, desc: str) -> np.ndarray:
         out = []
         t0 = time.perf_counter()
-        for start, stop in _batched(split.shape[0], cfg.batch_size):
-            padded, n_real = _pad_batch(split[start:stop], cfg.batch_size)
-            feats = res.extract_features(params, jnp.asarray(padded), keys)
+        for start, stop in _batched(split.shape[0], bs):
+            padded, n_real = _pad_batch(split[start:stop], bs)
+            if mesh is None:
+                feats = res.extract_features(params, jnp.asarray(padded), keys)
+            else:
+                feats = extract_features_dp(
+                    params, _place_batch(padded, mesh), keys, mesh
+                )
             out.append(np.asarray(feats[:n_real]))
         dt = time.perf_counter() - t0
         log.info("%s: %d samples in %.2fs (%.1f utt/s)",
@@ -279,19 +361,43 @@ def train_and_evaluate(
     cfg: PipelineConfig,
     artifact: artifacts.FeatureArtifact,
     class_names: Optional[Sequence[str]] = None,
+    mesh: MeshArg = "auto",
 ) -> TrainResult:
-    """Equivalent of train_classifier.py:7-53 with an on-device LBFGS fit."""
+    """Equivalent of train_classifier.py:7-53 with an on-device LBFGS fit.
+
+    Under a mesh the fit is data-parallel: the example axis shards over
+    devices and the loss/gradient reductions become psums (SURVEY 2.4b)."""
+    mesh = _resolve_mesh(mesh)
     names = list(class_names or cfg.commands)
     num_classes = len(names)
-    x_train = jnp.asarray(artifact.x_train, jnp.float32)
-    y_train = jnp.asarray(artifact.y_train, jnp.int32)
-    x_test = jnp.asarray(artifact.x_test, jnp.float32)
 
-    params, iters = logistic.fit_logistic(
-        x_train, y_train, num_classes=num_classes,
-        l2_c=cfg.readout.l2_c, max_iter=cfg.readout.max_iter,
-        tol=cfg.readout.tol,
-    )
+    if mesh is not None:
+        params, iters = logistic.fit_logistic_dp(
+            artifact.x_train, artifact.y_train, num_classes=num_classes,
+            mesh=mesh, l2_c=cfg.readout.l2_c, max_iter=cfg.readout.max_iter,
+            tol=cfg.readout.tol,
+        )
+        xt, n_real = meshlib.pad_to_multiple(
+            np.asarray(artifact.x_test, np.float32),
+            mesh.shape[meshlib.DATA_AXIS],
+        )
+        y_pred = np.asarray(
+            logistic.predict(params, meshlib.shard_batch(xt, mesh))
+        )[:n_real]
+        rep = metrics.classification_report(artifact.y_test, y_pred, names)
+        log.info("Test Accuracy: %.2f%%", rep.accuracy * 100)
+        return TrainResult(
+            accuracy=rep.accuracy, report=rep, params=params, n_iters=int(iters)
+        )
+    else:
+        x_train = jnp.asarray(artifact.x_train, jnp.float32)
+        y_train = jnp.asarray(artifact.y_train, jnp.int32)
+        x_test = jnp.asarray(artifact.x_test, jnp.float32)
+        params, iters = logistic.fit_logistic(
+            x_train, y_train, num_classes=num_classes,
+            l2_c=cfg.readout.l2_c, max_iter=cfg.readout.max_iter,
+            tol=cfg.readout.tol,
+        )
     y_pred = np.asarray(logistic.predict(params, x_test))
     rep = metrics.classification_report(artifact.y_test, y_pred, names)
     log.info("Test Accuracy: %.2f%%", rep.accuracy * 100)
@@ -308,10 +414,12 @@ def run_pipeline_arrays(
     cfg: PipelineConfig,
     audio: np.ndarray,
     labels: np.ndarray,
+    mesh: MeshArg = "auto",
 ) -> Tuple[TrainResult, ExtractionResult]:
     """Audio arrays in, trained+evaluated readout out — single process."""
-    spikes = featurize_audio_array(cfg, audio)
+    mesh = _resolve_mesh(mesh)
+    spikes = featurize_audio_array(cfg, audio, mesh=mesh)
     ds = artifacts.SpikeDataset(x_spikes=spikes, y_labels=labels)
-    ext = extract_lsm_features(cfg, ds)
-    result = train_and_evaluate(cfg, ext.artifact)
+    ext = extract_lsm_features(cfg, ds, mesh=mesh)
+    result = train_and_evaluate(cfg, ext.artifact, mesh=mesh)
     return result, ext

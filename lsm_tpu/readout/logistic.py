@@ -8,8 +8,16 @@ TPU-native replacement for the reference's
 
 with the intercept unpenalized; we minimize the same objective scaled by
 1/(C*N) (same argmin) using `optax.lbfgs` with zoom line search, full-batch
-gradients on device. Under data parallelism the loss/gradient are psum
-reductions over the batch shards.
+gradients on device.
+
+Data-parallel fits (SURVEY.md section 2.4b, reference
+train_classifier.py:36-41 semantics): `fit_logistic_dp` runs the same LBFGS
+loop on a batch-sharded feature matrix — the per-example CE terms live on
+their shards and XLA lowers the loss/gradient batch reductions to psums
+over the mesh 'data' axis; `fit_ridge_dp` is an explicit shard_map whose
+Gram/XtY blocks are `jax.lax.psum`-reduced over the data axis before a
+replicated solve. Both match their single-device counterparts to float
+tolerance (tests/test_readout_dp.py).
 
 Also provides a closed-form one-hot ridge readout (normal equations solved
 on device) as a fast alternative.
@@ -18,11 +26,14 @@ on device) as a fast alternative.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 class LogisticParams(NamedTuple):
@@ -31,12 +42,24 @@ class LogisticParams(NamedTuple):
 
 
 def _loss_fn(
-    params: LogisticParams, x: jnp.ndarray, y: jnp.ndarray, l2: float
+    params: LogisticParams,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    l2: float,
+    weights: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
+    """Weighted mean CE + L2/N. `weights` (0/1) masks padded rows so a
+    batch padded up to the shard multiple optimizes the unpadded objective."""
     logits = x @ params.w + params.b
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
-    reg = 0.5 * l2 * jnp.sum(params.w * params.w) / x.shape[0]
-    return ce + reg
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+    if weights is None:
+        n_eff = jnp.float32(x.shape[0])
+        ce_mean = ce.mean()
+    else:
+        n_eff = jnp.sum(weights)
+        ce_mean = jnp.sum(ce * weights) / n_eff
+    reg = 0.5 * l2 * jnp.sum(params.w * params.w) / n_eff
+    return ce_mean + reg
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes", "max_iter"))
@@ -47,6 +70,7 @@ def fit_logistic(
     l2_c: float = 1.0,
     max_iter: int = 1000,
     tol: float = 1e-5,
+    weights: Optional[jnp.ndarray] = None,
 ) -> Tuple[LogisticParams, jnp.ndarray]:
     """Full-batch L-BFGS fit. x: (N, D) float32, y: (N,) int32.
 
@@ -61,7 +85,7 @@ def fit_logistic(
         w=jnp.zeros((d, num_classes), jnp.float32),
         b=jnp.zeros((num_classes,), jnp.float32),
     )
-    loss = functools.partial(_loss_fn, x=x, y=y, l2=l2)
+    loss = functools.partial(_loss_fn, x=x, y=y, l2=l2, weights=weights)
 
     opt = optax.lbfgs()
     state = opt.init(params)
@@ -115,4 +139,111 @@ def fit_ridge(
     xty = xc.T @ yc
     w = jax.scipy.linalg.solve(gram, xty, assume_a="pos")
     b = (y_mean - x_mean @ w)[0]
+    return LogisticParams(w=w, b=b)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel fits over a device mesh (SURVEY.md section 2.4b)
+# ---------------------------------------------------------------------------
+
+def _pad_for_mesh(
+    x: np.ndarray, y: np.ndarray, n_shards: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-pad the batch to a shard multiple; weight 0 marks padded rows."""
+    n = x.shape[0]
+    target = -(-n // n_shards) * n_shards
+    w = np.zeros(target, np.float32)
+    w[:n] = 1.0
+    if target != n:
+        x = np.pad(x, ((0, target - n), (0, 0)))
+        y = np.pad(y, (0, target - n))
+    return x, y, w
+
+
+def fit_logistic_dp(
+    x,
+    y,
+    num_classes: int,
+    mesh: Mesh,
+    l2_c: float = 1.0,
+    max_iter: int = 1000,
+    tol: float = 1e-5,
+) -> Tuple[LogisticParams, jnp.ndarray]:
+    """`fit_logistic` with the example axis sharded over the mesh data axis.
+
+    The per-shard CE/gradient partial sums become XLA all-reduces (psums
+    riding ICI) inside the compiled LBFGS loop; parameters and optimizer
+    state stay replicated. Padded rows carry weight 0, so the optimized
+    objective is exactly the single-device one.
+    """
+    from lsm_tpu.parallel.mesh import DATA_AXIS
+
+    n_data = mesh.shape[DATA_AXIS]
+    xp, yp, wp = _pad_for_mesh(
+        np.asarray(x, np.float32), np.asarray(y, np.int32), n_data
+    )
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    xs = jax.device_put(xp, shard)
+    ys = jax.device_put(yp, shard)
+    ws = jax.device_put(wp, shard)
+    return fit_logistic(
+        xs, ys, num_classes, l2_c=l2_c, max_iter=max_iter, tol=tol, weights=ws
+    )
+
+
+def fit_ridge_dp(
+    x,
+    y,
+    num_classes: int,
+    mesh: Mesh,
+    alpha: float = 1.0,
+) -> LogisticParams:
+    """Data-parallel closed-form ridge: explicit psum'd Gram/XtY blocks.
+
+    Each shard computes its local centered Gram/XtY contribution; one
+    `jax.lax.psum` per block reduces them over the data axis and every
+    device solves the replicated (D, D) system. Matches `fit_ridge` on the
+    same data to float tolerance.
+    """
+    from lsm_tpu.parallel.mesh import DATA_AXIS
+
+    n_data = mesh.shape[DATA_AXIS]
+    xp, yp, wp = _pad_for_mesh(
+        np.asarray(x, np.float32), np.asarray(y, np.int32), n_data
+    )
+    d = xp.shape[1]
+
+    def local_fit(x_l, y_l, w_l):
+        y1 = jax.nn.one_hot(y_l, num_classes, dtype=jnp.float32)
+        n = jax.lax.psum(jnp.sum(w_l), DATA_AXIS)
+        x_mean = jax.lax.psum(
+            jnp.sum(x_l * w_l[:, None], axis=0), DATA_AXIS
+        )[None, :] / n
+        y_mean = jax.lax.psum(
+            jnp.sum(y1 * w_l[:, None], axis=0), DATA_AXIS
+        )[None, :] / n
+        xc = x_l - x_mean
+        # Left factor weighted (w_i^2 == w_i), so padded rows contribute 0
+        # even though centering makes them nonzero.
+        xcw = xc * w_l[:, None]
+        gram = jax.lax.psum(xcw.T @ xc, DATA_AXIS)
+        gram = gram + alpha * jnp.eye(d, dtype=jnp.float32)
+        xty = jax.lax.psum(xcw.T @ (y1 - y_mean), DATA_AXIS)
+        w = jax.scipy.linalg.solve(gram, xty, assume_a="pos")
+        b = (y_mean - x_mean @ w)[0]
+        return w, b
+
+    fn = jax.jit(shard_map(
+        local_fit,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    w, b = fn(
+        jax.device_put(xp, shard),
+        jax.device_put(yp, shard),
+        jax.device_put(wp, shard),
+    )
     return LogisticParams(w=w, b=b)

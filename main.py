@@ -17,6 +17,7 @@ from lsm_tpu.cli.common import (
     add_extract_flags,
     add_frontend_flags,
     build_config,
+    mesh_from_args,
     setup_logging,
 )
 from lsm_tpu.io import artifacts, dataset
@@ -40,6 +41,7 @@ def main() -> None:
     args = parser.parse_args()
     setup_logging()
     cfg = build_config(args)
+    mesh = mesh_from_args(args)
 
     print("--- Running Pipeline ---")
 
@@ -52,20 +54,21 @@ def main() -> None:
             n_per_class=min(args.samples_per_class, 200),
             n_classes=len(cfg.commands),
         )
-        spikes = featurize_audio_array(cfg, audio)
+        spikes = featurize_audio_array(cfg, audio, mesh=mesh)
         ds = artifacts.SpikeDataset(x_spikes=spikes, y_labels=labels)
         if spike_path is not None:
             artifacts.save_spike_dataset(spike_path, ds)
     else:
-        ds = create_spike_dataset(cfg, Path(args.data_dir), spike_path)
+        ds = create_spike_dataset(cfg, Path(args.data_dir), spike_path,
+                                  mesh=mesh)
     print(f"  Shape: {ds.x_spikes.shape}")
 
     print("\n--- Step 2: Extracting LSM Features ---")
     feat_path = None if args.skip_artifacts else Path(artifacts.FEATURES_FILENAME)
-    ext = extract_lsm_features(cfg, ds, output_path=feat_path)
+    ext = extract_lsm_features(cfg, ds, output_path=feat_path, mesh=mesh)
 
     print("\n--- Step 3: Training and Evaluating Classifier ---")
-    result = train_and_evaluate(cfg, ext.artifact)
+    result = train_and_evaluate(cfg, ext.artifact, mesh=mesh)
     print("\n--- Final Results ---")
     print(f"Test Accuracy: {result.accuracy * 100:.2f}%\n")
     print("Classification Report:")

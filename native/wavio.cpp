@@ -14,6 +14,7 @@
 // create_dataset.py:34-36).
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -160,27 +161,67 @@ bool decode_wav_mono(const std::vector<uint8_t>& raw, std::vector<float>& out,
   return true;
 }
 
-// Linear resample matching lsm_tpu.io.wav.resample_linear.
-void resample_linear(const std::vector<float>& x, uint32_t src, uint32_t dst,
-                     std::vector<float>& y) {
+// Kaiser-windowed-sinc resample matching lsm_tpu.io.wav.resample_sinc
+// (soxr_hq-class quality; keep constants in sync with io/wav.py).
+constexpr double kSincZeros = 16.0;
+constexpr double kSincBeta = 12.26526;
+constexpr double kSincRolloff = 0.945;
+
+// Modified Bessel I0 via the power series (converges to double precision
+// for the beta range used here; same values as numpy.i0).
+double bessel_i0(double x) {
+  double sum = 1.0, term = 1.0;
+  double half_x = 0.5 * x;
+  for (int k = 1; k < 64; ++k) {
+    double t = half_x / k;
+    term *= t * t;
+    sum += term;
+    if (term < sum * 1e-17) break;
+  }
+  return sum;
+}
+
+inline double sinc(double t) {
+  if (t == 0.0) return 1.0;
+  double p = M_PI * t;
+  return std::sin(p) / p;
+}
+
+void resample_sinc(const std::vector<float>& x, uint32_t src, uint32_t dst,
+                   std::vector<float>& y) {
   if (src == dst) {
     y = x;
     return;
   }
-  size_t n_out = static_cast<size_t>(
-      static_cast<double>(x.size()) * dst / src + 0.5);
-  if (n_out <= 1 || x.size() <= 1) {
+  double ratio = static_cast<double>(dst) / src;
+  size_t n_in = x.size();
+  size_t n_out =
+      static_cast<size_t>(std::llround(static_cast<double>(n_in) * ratio));
+  if (n_out <= 1 || n_in <= 1) {
     y.assign(n_out, 0.0f);
     return;
   }
+  double fc = (ratio < 1.0 ? ratio : 1.0) * kSincRolloff;
+  double half = kSincZeros / fc;
+  double inv_i0_beta = 1.0 / bessel_i0(kSincBeta);
+  int n_taps = static_cast<int>(std::ceil(2.0 * half));
   y.resize(n_out);
-  double step = static_cast<double>(x.size() - 1) / (n_out - 1);
   for (size_t i = 0; i < n_out; ++i) {
-    double pos = i * step;
-    size_t lo = static_cast<size_t>(pos);
-    if (lo > x.size() - 2) lo = x.size() - 2;
-    float frac = static_cast<float>(pos - lo);
-    y[i] = x[lo] * (1.0f - frac) + x[lo + 1] * frac;
+    double pos = static_cast<double>(i) / ratio;
+    long lo = static_cast<long>(std::floor(pos - half)) + 1;
+    double acc = 0.0;
+    for (int k = 0; k < n_taps; ++k) {
+      long j = lo + k;
+      if (j < 0 || j >= static_cast<long>(n_in)) continue;
+      double t = pos - static_cast<double>(j);
+      double u = t / half;
+      double arg = 1.0 - u * u;
+      if (arg < 0.0) arg = 0.0;
+      double w = fc * sinc(fc * t) * bessel_i0(kSincBeta * std::sqrt(arg)) *
+                 inv_i0_beta;
+      acc += w * static_cast<double>(x[j]);
+    }
+    y[i] = static_cast<float>(acc);
   }
 }
 
@@ -196,7 +237,7 @@ void process_one(const char* path, int sample_rate, double duration,
   // Truncate at the source rate first (librosa duration semantics).
   size_t max_src = static_cast<size_t>(duration * rate);
   if (mono.size() > max_src) mono.resize(max_src);
-  resample_linear(mono, rate, static_cast<uint32_t>(sample_rate), res);
+  resample_sinc(mono, rate, static_cast<uint32_t>(sample_rate), res);
   size_t n = res.size() < static_cast<size_t>(target_len)
                  ? res.size()
                  : static_cast<size_t>(target_len);

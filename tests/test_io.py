@@ -26,16 +26,24 @@ def test_wav_decode_matches_scipy(tmp_path, rng):
     np.testing.assert_allclose(x[:, 0], audio_i16 / 32768.0, atol=1e-6)
 
 
-def test_wav_stereo_downmix_and_resample(tmp_path, rng):
-    stereo = (rng.standard_normal((4000, 2)) * 8000).astype(np.int16)
+def test_wav_stereo_downmix_and_resample(tmp_path):
+    # A 500 Hz tone on both channels: downmix is the same tone; the sinc
+    # upsample to 16 kHz must reconstruct it nearly exactly.
+    t8 = np.arange(4000) / 8000.0
+    tone = np.sin(2 * np.pi * 500.0 * t8)
+    stereo = np.stack([tone, tone], axis=1)
+    stereo_i16 = (stereo * 8000).astype(np.int16)
     p = tmp_path / "c.wav"
-    scipy.io.wavfile.write(p, 8000, stereo)
+    scipy.io.wavfile.write(p, 8000, stereo_i16)
     y = wav.load_wav(p, 16000, duration=1.0)
     # 0.5 s at 8 kHz -> 0.5 s at 16 kHz = 8000 samples.
     assert abs(len(y) - 8000) <= 2
-    mono = stereo.mean(axis=1) / 32768.0
-    # Endpoints preserved by linear resampling.
-    np.testing.assert_allclose(y[0], mono[0], atol=1e-4)
+    t16 = np.arange(len(y)) / 16000.0
+    ref = (8000.0 / 32768.0) * np.sin(2 * np.pi * 500.0 * t16)
+    m = 64  # kernel half-width rings at the zero-padded edges
+    err = y[m:-m] - ref[m:-m]
+    snr = 10 * np.log10(np.sum(ref[m:-m] ** 2) / np.sum(err**2))
+    assert snr > 55.0, f"resampled tone SNR {snr:.1f} dB"
 
 
 def test_wav_errors_are_wav_errors():

@@ -1,0 +1,118 @@
+"""Crash-resume of the sharded featurization writer (SURVEY.md 5.4).
+
+VERDICT round-1 item 5: kill the run mid-featurization, rerun, and the
+final dataset must be complete and correct with NO recompute of finished
+shards.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from lsm_tpu.config import FrontendConfig, PipelineConfig, ReservoirConfig
+from lsm_tpu.io import dataset
+from lsm_tpu.io.sharded import (
+    ShardedSpikeDataset,
+    ShardedSpikeDatasetWriter,
+)
+from lsm_tpu import pipeline
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PipelineConfig(
+        frontend=FrontendConfig(n_filters=32),
+        commands=("a", "b", "c"),
+        batch_size=8,
+        max_samples_per_class=10,
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(cfg, tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    dataset.write_synthetic_corpus(d, cfg.commands, n_per_class=10, seed=3)
+    return d
+
+
+def test_writer_journal_resume(tmp_path):
+    """Unit-level: journal replay skips complete shards, drops the buffer."""
+    root = tmp_path / "ds"
+    w = ShardedSpikeDatasetWriter(root, shard_size=4)
+    x = np.arange(10 * 2 * 3, dtype=np.uint8).reshape(10, 2, 3) % 2
+    y = np.arange(10, dtype=np.int32)
+    w.append(x[:6], y[:6], np.arange(6))
+    # 1 shard of 4 flushed; 2 samples buffered. Simulate a crash: no close().
+    assert (root / "journal.jsonl").exists()
+    assert not (root / "manifest.json").exists()
+
+    w2 = ShardedSpikeDatasetWriter(root, shard_size=4, resume=True)
+    assert w2.resume_file_index == 3          # last sample in the flushed shard
+    assert len(w2.completed_shards()) == 1
+    # Caller resumes from file 4: re-append 4..9.
+    w2.append(x[4:], y[4:], np.arange(4, 10))
+    manifest = w2.close()
+    assert manifest["num_samples"] == 10
+
+    ds = ShardedSpikeDataset(root)
+    full = ds.load_all()
+    np.testing.assert_array_equal(full.x_spikes, x)
+    np.testing.assert_array_equal(full.y_labels, y)
+
+
+def test_writer_fresh_run_clears_stale_state(tmp_path):
+    root = tmp_path / "ds"
+    w = ShardedSpikeDatasetWriter(root, shard_size=2)
+    x = np.zeros((4, 2, 3), np.uint8)
+    w.append(x, np.zeros(4, np.int32), np.arange(4))
+    w.close()
+    # A non-resume writer starts from scratch.
+    w2 = ShardedSpikeDatasetWriter(root, shard_size=2, resume=False)
+    assert w2.resume_file_index == -1
+    assert not (root / "manifest.json").exists()
+
+
+def test_pipeline_resume_no_recompute(cfg, corpus_dir, tmp_path, monkeypatch):
+    """Kill create_spike_dataset mid-run; rerun; complete + no recompute."""
+    out = tmp_path / "sharded"
+
+    # Full run (ground truth) into a separate directory.
+    truth = pipeline.create_spike_dataset(
+        cfg, corpus_dir, sharded_output=tmp_path / "truth", shard_size=8,
+        mesh=None,
+    )
+
+    # Interrupted run: blow up after the second batch's append.
+    calls = {"n": 0}
+    orig_append = ShardedSpikeDatasetWriter.append
+
+    def bomb(self, *a, **k):
+        if calls["n"] >= 2:
+            raise KeyboardInterrupt("simulated kill -9")
+        calls["n"] += 1
+        return orig_append(self, *a, **k)
+
+    monkeypatch.setattr(ShardedSpikeDatasetWriter, "append", bomb)
+    with pytest.raises(KeyboardInterrupt):
+        pipeline.create_spike_dataset(
+            cfg, corpus_dir, sharded_output=out, shard_size=8, mesh=None
+        )
+    monkeypatch.setattr(ShardedSpikeDatasetWriter, "append", orig_append)
+
+    # Shards flushed before the kill must not be rewritten on resume.
+    pre = {p.name: p.stat().st_mtime_ns for p in out.glob("shard_*.npz")}
+    assert pre, "the interrupted run should have flushed at least one shard"
+
+    ds = pipeline.create_spike_dataset(
+        cfg, corpus_dir, sharded_output=out, shard_size=8, mesh=None
+    )
+    post = {p.name: p.stat().st_mtime_ns for p in out.glob("shard_*.npz")}
+    for name, mtime in pre.items():
+        assert post[name] == mtime, f"{name} was rewritten on resume"
+
+    np.testing.assert_array_equal(ds.x_spikes, truth.x_spikes)
+    np.testing.assert_array_equal(ds.y_labels, truth.y_labels)
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert manifest["num_samples"] == truth.x_spikes.shape[0]

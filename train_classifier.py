@@ -9,7 +9,7 @@ backed by an on-device LBFGS multinomial logistic fit.
 import argparse
 from pathlib import Path
 
-from lsm_tpu.cli.common import build_config, setup_logging
+from lsm_tpu.cli.common import build_config, mesh_from_args, setup_logging
 from lsm_tpu.config import COMMANDS_12, COMMANDS_35
 from lsm_tpu.io import artifacts
 from lsm_tpu.pipeline import train_and_evaluate
@@ -21,6 +21,8 @@ def main() -> None:
     )
     parser.add_argument("--input", type=str, default=artifacts.FEATURES_FILENAME)
     parser.add_argument("--vocab", type=str, default="v12", choices=["v12", "v35"])
+    parser.add_argument("--single-device", action="store_true",
+                        help="Disable the automatic data-parallel mesh.")
     args = parser.parse_args()
     setup_logging()
 
@@ -36,7 +38,8 @@ def main() -> None:
     cfg = build_config(args)
     names = COMMANDS_35 if args.vocab == "v35" else COMMANDS_12
     n_classes = int(max(art.y_train.max(), art.y_test.max())) + 1
-    result = train_and_evaluate(cfg, art, class_names=names[:n_classes])
+    result = train_and_evaluate(cfg, art, class_names=names[:n_classes],
+                                mesh=mesh_from_args(args))
     print("Training complete.")
     print("Evaluating performance on the test set...")
     print("\n--- Final Results ---")
