@@ -43,7 +43,7 @@ def main() -> None:
     parser.add_argument("--filterbank", default="gammatone",
                         choices=["mel", "gammatone"])
     parser.add_argument("--gammatone-method", default="iir",
-                        choices=["iir", "fft"])
+                        choices=["iir", "iir-xla", "fft"])
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--skip-cold", action="store_true",
                         help="Skip the disk->device cold-path measurement.")

@@ -53,7 +53,7 @@ def add_extension_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--samples-per-class", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--gammatone-method", type=str, default="iir",
-                   choices=["iir", "fft"])
+                   choices=["iir", "iir-xla", "fft"])
     p.add_argument("--num-neurons", type=int, default=1000)
     p.add_argument("--num-output-neurons", type=int, default=400)
     p.add_argument("--redundancy-factor", type=int, default=1,

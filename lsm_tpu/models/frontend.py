@@ -40,13 +40,36 @@ def spectrogram_db(audio: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     elif cfg.filterbank == "gammatone":
         # hop_time = len(audio) / (fs * TIME_BINS)  (create_dataset.py:50)
         hop_time = cfg.num_samples / (cfg.sample_rate * cfg.time_bins)
-        fn = gt.gtgram_iir if cfg.gammatone_method == "iir" else gt.gtgram_fft
+        fn = _dispatch_gtgram(cfg, audio.shape[-1])
         spec = fn(
             audio, cfg.sample_rate, cfg.gt_window_time, hop_time,
             cfg.n_filters, cfg.gt_f_min,
         )
         return db_ops.amplitude_to_db_floor(spec, top_db=cfg.power_top_db)
     raise ValueError(f"unknown filterbank: {cfg.filterbank!r}")
+
+
+def _dispatch_gtgram(cfg: FrontendConfig, n_samples: int):
+    """Pick the gtgram implementation: on TPU the two-phase Pallas kernel
+    (measured 1.2x+ the XLA block-IIR at equal numerics) when the geometry
+    is lane-aligned; 'iir-xla' forces the XLA scan; 'fft' the STFT
+    approximation."""
+    if cfg.gammatone_method == "fft":
+        return gt.gtgram_fft
+    if cfg.gammatone_method == "iir-xla":
+        return gt.gtgram_iir
+    if cfg.gammatone_method != "iir":
+        raise ValueError(f"unknown gammatone_method: {cfg.gammatone_method!r}")
+    hop_time = cfg.num_samples / (cfg.sample_rate * cfg.time_bins)
+    if jax.default_backend() in ("tpu", "axon"):
+        from lsm_tpu.ops.pallas import gtgram_kernel as gk
+
+        if gk.pallas_supported(
+            cfg.sample_rate, cfg.gt_window_time, hop_time,
+            cfg.n_filters, n_samples,
+        ):
+            return gk.gtgram_pallas
+    return gt.gtgram_iir
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -291,6 +291,103 @@ def gtgram_iir(
 
 
 @functools.lru_cache(maxsize=None)
+def _quadratic_matrices(fs: float, channels: int, f_min: float, g: int):
+    """Host-side (f64) constants for the two-phase gtgram's state terms.
+
+    Per sub-block the filtered response splits as y = u + v with
+    u = input response (W_yx x, phase 2 on the MXU) and v = state ring-down
+    (M_sy s). The energy expands EXACTLY as
+
+        sum_m y^2 = sum_m u^2 + [ 2 sum_m u v + sum_m v^2 ]
+
+    and the bracket is computable from (x, s) alone without materializing
+    u or v per sample:
+        2 sum_m u v = 2 sum_s s_s * (W_w x)_s,  W_w[c,s,l] = sum_m M_sy[c,s,m] M_yx[c,l,m]
+        sum_m v^2   = sum_{s,s'} G[c,s,s'] s_s s_s',  G = M_sy M_sy^T per channel
+    Returns
+        w_xq (g, 16C): columns 0..8C   = W_xs (state update, [l, s*C+c]),
+                       columns 8C..16C = W_w  ([l, s*C+c])
+        g_quad (8, 8, C)
+    """
+    m_yx, m_sy, m_xs, m_ss = [
+        m.astype(np.float64) for m in _block_iir_matrices(fs, channels, f_min, g)
+    ]
+    C = channels
+    w_w = np.einsum("csm,clm->cls", m_sy, m_yx)               # (C, L, 8)
+    w_xs_cols = np.ascontiguousarray(m_xs.transpose(1, 2, 0)).reshape(g, 8 * C)
+    w_w_cols = np.ascontiguousarray(w_w.transpose(1, 2, 0)).reshape(g, 8 * C)
+    w_xq = np.concatenate([w_xs_cols, w_w_cols], axis=1).astype(np.float32)
+    g_quad = np.einsum("csm,ctm->stc", m_sy, m_sy).astype(np.float32)
+    m_ss_t = np.ascontiguousarray(m_ss.transpose(1, 2, 0)).astype(np.float32)
+    return w_xq, g_quad, m_ss_t
+
+
+def gtgram_state_energy(
+    blocks_bm: jnp.ndarray,       # (n_sub, B, g) batch-major waveform blocks
+    fs: float,
+    channels: int,
+    f_min: float,
+    g: int,
+) -> jnp.ndarray:
+    """Phase 1 of the two-phase gtgram: exact state scan + per-sub-block
+    state-energy terms.
+
+    Carries only the 8-dim cascade state per (batch, channel) — batch-major
+    with channels on the lane axis, so every broadcast is layout-native —
+    and emits sq[k] = 2*sum_m(u v) + sum_m(v^2) per sub-block: everything
+    the energy needs beyond the pure input response. The state path runs
+    exact f32 with precision=HIGHEST matmuls (the IIR numerical contract;
+    see CLAUDE.md). Returns (n_sub, C, B) f32 (batch on lanes, the phase-2
+    kernel layout).
+    """
+    n_sub, B, g_ = blocks_bm.shape
+    assert g_ == g
+    C = channels
+    w_xq_np, g_quad_np, m_ss_np = _quadratic_matrices(fs, channels, f_min, g)
+    w_xs = jnp.asarray(w_xq_np[:, : 8 * channels])    # (g, 8C)
+    w_w = jnp.asarray(w_xq_np[:, 8 * channels:])      # (g, 8C)
+    g_quad = jnp.asarray(g_quad_np)      # (8, 8, C)
+    m_ss_t = jnp.asarray(m_ss_np)        # (s_in, t_out, C)
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def step(state, x_block):
+        # state: (B, 8, C) at sub-block start; x_block: (B, g).
+        # Only the STATE update needs the exact-f32 contract; the cross
+        # term feeds energy only (per-block error, no accumulation) and
+        # runs at the fast default like the phase-2 input response.
+        drive = jnp.dot(
+            x_block, w_xs, precision=hi, preferred_element_type=jnp.float32
+        ).reshape(B, 8, C)
+        w_term = jnp.dot(
+            x_block, w_w, preferred_element_type=jnp.float32
+        ).reshape(B, 8, C)
+
+        # cross = 2 sum_s s_s (W_w x)_s ; quad = sum_{s,s'} G s_s s_s'.
+        cross = 2.0 * jnp.sum(state * w_term, axis=1)          # (B, C)
+        quad = jnp.zeros_like(cross)
+        for s in range(8):
+            quad = quad + g_quad[s, s][None, :] * state[:, s, :] * state[:, s, :]
+            for t in range(s + 1, 8):
+                quad = quad + (2.0 * g_quad[s, t])[None, :] * (
+                    state[:, s, :] * state[:, t, :]
+                )
+
+        new_state = drive
+        for s in range(8):
+            # new_state[:, t] += state[:, s] * M_ss[c, s, t]
+            new_state = new_state + m_ss_t[s][None, :, :] * state[:, s, :][:, None, :]
+        # Emit (C, B): the phase-2 kernel consumes batch-on-lanes, and a
+        # per-step small transpose fuses into the scan far cheaper than one
+        # 250 MB minor-dim transpose afterwards.
+        return new_state, (cross + quad).T
+
+    init = jnp.zeros((B, 8, channels), jnp.float32)
+    _, sq = jax.lax.scan(step, init, blocks_bm, unroll=4)
+    return sq                            # (n_sub, C, B)
+
+
+@functools.lru_cache(maxsize=None)
 def _gammatone_fft_weights(
     fs: float, n_fft: int, channels: int, f_min: float
 ) -> np.ndarray:

@@ -1,40 +1,38 @@
-"""Pallas TPU kernel for the block-IIR gammatone filterbank.
+"""Pallas TPU kernel for the block-IIR gammatone filterbank (phase 2).
 
-STATUS: EXPERIMENTAL — matches the XLA path in interpret mode (tested), but
-on v5e hardware it is currently ~1.6x SLOWER than the XLA block-IIR scan
-(the 16 per-sub-block VPU broadcast terms dominate; the MXU dot is not the
-bottleneck) and shows a small numerical anomaly near the dB floor that is
-still being chased. The production default is the XLA path in
-lsm_tpu.ops.gammatone.gtgram_iir; this kernel is kept as the starting point
-for a revisit (plan: fold the state response into the MXU via an extended
-input vector, and double-buffer sub-block DMA).
+Two-phase design (the round-2 rework that replaced the retired sequential
+kernel):
 
-Motivation (measured on v5e): the XLA scan formulation of the block-IIR
-gammatone is HBM-bound — every 80-sample block step materializes the
-(B, g*C) filtered block in HBM before the energy reduction, ~200 MB of
-traffic per step x 200 steps. This kernel keeps the IIR state and all block
-matrices resident in VMEM for the whole waveform and writes ONLY the
-per-sub-block energies: HBM traffic drops from ~40 GB to
-(audio in + energies out) ~180 MB for a 2400-utterance batch.
+  Phase 1 (XLA, `gammatone.gtgram_state_energy`): the exact f32 state
+  recurrence, batch-major so every broadcast is layout-native, emitting per
+  sub-block only sq = 2*sum(u v) + sum(v^2) — the full energy contribution
+  of the IIR state (v = state ring-down response), exactly expanded from
+  sum (u+v)^2. O(B*C) per step instead of the full-rate signal.
 
-Data layout (B_t = batch tile, g = sub-block length, C = channels):
-the batch lives on the LANE axis and sub-blocks on the leading untiled
-axis, so the per-step dynamic indexing is on dimension 0 (no lane-alignment
-proofs needed) and every matmul has N = B_t = 128 lanes:
+  Phase 2 (this kernel): with the state energy folded into sq, each
+  sub-block is INDEPENDENT and needs only the input response:
 
-  x_ref    (CHUNK, g, B_t)   audio sub-blocks for this time chunk
-  wyx_ref  (g*C, g)          y response to in-block input, row m*C + c
-  wxs_ref  (8*C, g)          end-state response to in-block input, row s*C+c
-  msy_ref  (8, g, C)         y response to initial state (VPU broadcast)
-  mss_ref  (8, 8, C)         state transition (VPU broadcast), [t, s, c]
-  out_ref  (CHUNK, C, B_t)   sub-block energy sums
-  state    (8, C, B_t)       f32 scratch; persists across the time-chunk
-                             grid axis (the TPU grid is a sequential
-                             on-core loop, minormost axis fastest)
+      e_k = sum_m (W_yx^T x_k)_m^2 + sq_k          (C, B_t)
 
-The state propagation through M_ss/M_sy runs as exact f32 VPU multiply-adds
-(8 broadcast terms), so MXU operand rounding never touches the recurrent
-path — the numerical hazard that bit the XLA version.
+  One MXU dot + a VPU square-reduce per sub-block, VMEM-resident, grid
+  parallel over (batch tiles x sub-block chunks): Mosaic pipelines block
+  DMA against compute, and the (B, g, C) filtered response that the XLA
+  path materializes to HBM every step (~20 GB per 2400 utterances — its
+  measured bottleneck) never leaves VMEM.
+
+Why not compute the state terms in-kernel (the retired design): a
+(g, C) * (C, B_t) broadcast multiply needs a lane->sublane relayout of the
+coefficient operand, measured at ~178 ms per 2400 utterances — 5x the cost
+of everything else combined. The algebraic split moves those terms into
+phase 1 where the batch-major layout makes them native VPU work.
+
+Numerics: the split is exact in real arithmetic; in f32 the separately
+rounded sq can make a near-zero energy slightly negative (u ~ -v at
+silence), so the wrapper clamps at 0 before sqrt. Validated bit-close
+(p99 rel err ~2e-7) against the XLA path and the f64 oracle in tests.
+
+Data layout: batch on the LANE axis (B_t = 128); sub-blocks lead so chunk
+indexing is on untiled dimension 0.
 """
 
 from __future__ import annotations
@@ -48,125 +46,79 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lsm_tpu.ops.gammatone import _block_iir_matrices, gtgram_strides
+from lsm_tpu.ops.gammatone import (
+    _block_iir_matrices,
+    gtgram_state_energy,
+    gtgram_strides,
+)
 
 _B_TILE = 128
-_CHUNK = 8  # sub-blocks per grid step along time
+_CHUNK = 4   # sub-blocks per grid cell
 
 
 @functools.lru_cache(maxsize=None)
-def _kernel_matrices(fs: float, channels: int, f_min: float, g: int):
-    m_yx, m_sy, m_xs, m_ss = _block_iir_matrices(fs, channels, f_min, g)
+def _input_response_matrix(fs: float, channels: int, f_min: float, g: int):
+    m_yx, _, _, _ = _block_iir_matrices(fs, channels, f_min, g)
     C = channels
-    # Row-major (m*C + c, l): output rows (m, c), contraction over l:
-    # w_yx_t[m*C + c, l] = m_yx[c, l, m].
-    w_yx_t = np.ascontiguousarray(
-        np.transpose(m_yx, (2, 0, 1)).reshape(g * C, g)
-    )
-    w_xs_t = np.ascontiguousarray(
-        np.transpose(m_xs, (2, 0, 1)).reshape(8 * C, g)
-    )
-    m_sy_t = np.ascontiguousarray(m_sy.transpose(1, 2, 0))  # (s:8, m:g, C)
-    m_ss_r = np.ascontiguousarray(m_ss.transpose(1, 2, 0))  # (t:8, s:8, C)
-    return w_yx_t, w_xs_t, m_sy_t, m_ss_r
+    # w_yx_t[m*C + c, l] = m_yx[c, l, m]: output rows (m, c), contract l.
+    return np.ascontiguousarray(np.transpose(m_yx, (2, 0, 1)).reshape(g * C, g))
 
 
-def _gtgram_kernel(
-    x_ref, wyx_ref, wxs_ref, msy_ref, mss_ref, out_ref, state, y_acc, s_acc,
-    *, g, channels
-):
-    b_t = x_ref.shape[-1]
+def _energy_kernel(x_ref, sq_ref, wyx_ref, out_ref, *, g, channels):
     chunk = out_ref.shape[0]
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        state[:] = jnp.zeros_like(state)
-
-    def body(k, _):
-        x_blk = x_ref[k]                                       # (g, B_t)
-        # Accumulate into scratch refs rather than SSA-chaining 8 updates:
-        # Mosaic allocates every live intermediate on the VMEM stack, and 8
-        # chained copies of the (g, C, B_t) block blow the 16 MB budget.
-        # The y dot runs with bf16 operands (full-rate MXU): it feeds only
-        # the windowed energy, where a 0.4% operand rounding is harmless;
-        # the state path stays exact f32.
-        y_acc[:] = jnp.dot(
-            wyx_ref[:].astype(jnp.bfloat16),
-            x_blk.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
+    b_t = x_ref.shape[-1]
+    for k in range(chunk):
+        u = jnp.dot(
+            wyx_ref[:], x_ref[k], preferred_element_type=jnp.float32
         ).reshape(g, channels, b_t)
-        s_acc[:] = jnp.dot(
-            wxs_ref[:], x_blk, preferred_element_type=jnp.float32
-        ).reshape(8, channels, b_t)
-        for s in range(8):
-            col = state[s][None, :, :]                         # (1, C, B_t)
-            y_acc[:] = y_acc[:] + msy_ref[s][:, :, None] * col
-            s_acc[:] = s_acc[:] + mss_ref[s][:, :, None] * col
-        state[:] = s_acc[:]
-        yv = y_acc[:]
-        out_ref[k] = jnp.sum(yv * yv, axis=0)                  # (C, B_t)
-        return 0
-
-    jax.lax.fori_loop(0, chunk, body, 0)
+        e = jnp.sum(u * u, axis=0) + sq_ref[k]
+        out_ref[k] = jnp.maximum(e, 0.0)
 
 
 def gtgram_energy_pallas(
-    wave: jnp.ndarray, fs: float, channels: int, f_min: float, g: int
+    blocks: jnp.ndarray,          # (n_sub, g, B) sub-block-major waveform
+    sq: jnp.ndarray,              # (n_sub, C, B) from gtgram_state_energy
+    fs: float,
+    channels: int,
+    f_min: float,
+    g: int,
 ) -> jnp.ndarray:
-    """(B, S) f32 -> per-sub-block energies (B, C, n_sub) f32. S % g == 0,
-    (S/g) % CHUNK == 0."""
-    B, S = wave.shape
-    n_sub = S // g
-    if n_sub % _CHUNK:
-        raise ValueError(f"n_sub={n_sub} not a multiple of CHUNK={_CHUNK}")
-    pad_b = (-B) % _B_TILE
-    if pad_b:
-        wave = jnp.pad(wave, ((0, pad_b), (0, 0)))
-    bp = B + pad_b
+    """Per-sub-block energies (B, C, n_sub) f32. Requires B % 128 == 0 and
+    n_sub % CHUNK == 0 (see pallas_supported / gtgram_pallas padding)."""
+    n_sub, g_, B = blocks.shape
+    if g_ != g or n_sub % _CHUNK or B % _B_TILE:
+        raise ValueError(f"unsupported geometry n_sub={n_sub} g={g} B={B}")
 
-    # (n_sub, g, B): sub-blocks leading, batch on lanes.
-    x = wave.reshape(bp, n_sub, g).transpose(1, 2, 0)
-
-    w_yx_t, w_xs_t, m_sy_t, m_ss_r = _kernel_matrices(fs, channels, f_min, g)
-    grid = (bp // _B_TILE, n_sub // _CHUNK)
+    w_yx_t = _input_response_matrix(fs, channels, f_min, g)
+    grid = (B // _B_TILE, n_sub // _CHUNK)
 
     out = pl.pallas_call(
-        functools.partial(_gtgram_kernel, g=g, channels=channels),
+        functools.partial(_energy_kernel, g=g, channels=channels),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_CHUNK, g, _B_TILE), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, channels, _B_TILE), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((g * channels, g), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * channels, g), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, g, channels), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 8, channels), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (_CHUNK, channels, _B_TILE), lambda i, j: (j, 0, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_sub, channels, bp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_sub, channels, B), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((8, channels, _B_TILE), jnp.float32),   # state
-            pltpu.VMEM((g, channels, _B_TILE), jnp.float32),   # y accumulator
-            pltpu.VMEM((8, channels, _B_TILE), jnp.float32),   # state acc
-        ],
-    )(
-        x,
-        jnp.asarray(w_yx_t),
-        jnp.asarray(w_xs_t),
-        jnp.asarray(m_sy_t),
-        jnp.asarray(m_ss_r),
-    )
-    # (n_sub, C, bp) -> (B, C, n_sub)
-    return out.transpose(2, 1, 0)[:B]
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_sub * g * channels * (g + 1) * B,
+            bytes_accessed=blocks.size * 4 + sq.size * 4 + sq.size * 4,
+            transcendentals=0,
+        ),
+    )(blocks, sq, jnp.asarray(w_yx_t))
+    # (n_sub, C, B) -> (B, C, n_sub)
+    return out.transpose(2, 1, 0)
 
 
 def gtgram_pallas(
@@ -177,19 +129,33 @@ def gtgram_pallas(
     channels: int,
     f_min: float,
 ) -> jnp.ndarray:
-    """Drop-in for gtgram_iir using the fused VMEM-resident kernel."""
+    """Drop-in for gtgram_iir: (B, S) -> (B, C, n_cols).
+
+    Phase 1 (XLA exact state-energy scan) + phase 2 (parallel VMEM input-
+    response kernel) + the same windowed-energy epilogue as the XLA path.
+    """
     B, S = wave.shape
     nwin, hop, n_cols = gtgram_strides(fs, window_time, hop_time, S)
     g = math.gcd(hop, nwin)
     n_sub = -(-S // g)
     # Pad the time axis so n_sub is a CHUNK multiple (padding only affects
-    # windows beyond n_cols, which are discarded).
+    # windows beyond n_cols, discarded) and the batch to the lane tile.
     n_sub_pad = -(-n_sub // _CHUNK) * _CHUNK
-    pad = n_sub_pad * g - S
-    if pad:
-        wave = jnp.pad(wave, ((0, 0), (0, pad)))
+    pad_t = n_sub_pad * g - S
+    if pad_t:
+        wave = jnp.pad(wave, ((0, 0), (0, pad_t)))
+    pad_b = (-B) % _B_TILE
+    if pad_b:
+        wave = jnp.pad(wave, ((0, pad_b), (0, 0)))
+    bp = B + pad_b
 
-    sub_energy = gtgram_energy_pallas(wave, fs, channels, f_min, g)
+    stacked = wave.reshape(bp, n_sub_pad, g)
+    blocks_bm = stacked.transpose(1, 0, 2)        # (n_sub, B, g) for phase 1
+    blocks_gm = stacked.transpose(1, 2, 0)        # (n_sub, g, B) for phase 2
+
+    sq = gtgram_state_energy(blocks_bm, fs, channels, f_min, g)
+    sub_energy = gtgram_energy_pallas(blocks_gm, sq, fs, channels, f_min, g)
+    sub_energy = sub_energy[:B]
 
     w_per = nwin // g
     h_per = hop // g
@@ -201,7 +167,7 @@ def gtgram_pallas(
 
 def pallas_supported(fs: float, window_time: float, hop_time: float,
                      channels: int, n_samples: int) -> bool:
-    """The kernel requires lane-aligned channels and the standard geometry."""
+    """Lane-aligned channels and the standard g geometry."""
     nwin, hop, _ = gtgram_strides(fs, window_time, hop_time, n_samples)
     g = math.gcd(hop, nwin)
     return channels % 128 == 0 and g % 8 == 0

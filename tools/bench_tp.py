@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark the tensor-parallel (neuron-sharded) reservoir path.
+
+BASELINE.json configs[3] coverage on real hardware: runs the 10k-neuron
+reservoir through `extract_features_model_sharded` (the TP shard_map path,
+one all_gather per timestep) on a mesh over all available devices — on a
+single chip this measures the TP code path compiled for 1 device (the
+all_gather lowers to a no-op copy), on a slice it measures true TP scaling.
+
+Timing follows CLAUDE.md: jitted scalar reduction pulled to host.
+
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_tp.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num-neurons", type=int, default=10_000)
+    parser.add_argument("--num-outputs", type=int, default=400)
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--t", type=int, default=400)
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--n-model", type=int, default=0,
+                        help="model-axis size (0 = all devices)")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lsm_tpu.config import FEATURE_SETS, ReservoirConfig
+    from lsm_tpu.models import reservoir as res
+    from lsm_tpu.parallel import mesh as meshlib
+    from lsm_tpu.parallel.sharded import extract_features_model_sharded
+
+    n_dev = jax.device_count()
+    n_model = args.n_model or n_dev
+    n_data = n_dev // n_model
+    mesh = meshlib.make_mesh(n_data=n_data, n_model=n_model)
+    log(f"devices={n_dev} mesh={n_data}x{n_model} "
+        f"neurons={args.num_neurons} B={args.batch} T={args.t}")
+
+    cfg = ReservoirConfig(
+        num_neurons=args.num_neurons,
+        num_output_neurons=args.num_outputs,
+        small_world_k=int(0.10 * args.num_neurons * 2),
+        mean_weight=0.002,
+    )
+    t0 = time.perf_counter()
+    params = res.init_reservoir(cfg, n_channels=128)
+    log(f"init (host draws + H2D): {time.perf_counter() - t0:.1f}s")
+
+    keys = tuple(FEATURE_SETS["original"])
+    rng = np.random.default_rng(0)
+    spikes = jnp.asarray(
+        (rng.random((args.batch, 128, args.t)) < 0.05).astype(np.uint8)
+    )
+
+    @jax.jit
+    def run_scalar(s):
+        feats = extract_features_model_sharded(params, s, keys, mesh)
+        return jnp.sum(feats)
+
+    t0 = time.perf_counter()
+    sval = float(run_scalar(spikes))
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s (sum={sval:.3e})")
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        float(run_scalar(spikes))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rate = args.batch / best
+    log(f"TP reservoir: {args.batch} utt in {best:.3f}s = {rate:.1f} utt/s "
+        f"({rate / n_dev:.1f}/chip), times={['%.3f' % t for t in times]}")
+    print(f"{rate:.1f}")
+
+
+if __name__ == "__main__":
+    main()
