@@ -91,10 +91,30 @@ class ReservoirParams:
     n_rate_windows: int = dataclasses.field(metadata=dict(static=True))
 
 
+# Above this many neurons, init_reservoir draws weights ON DEVICE: the
+# host path's (N, N) float draws + H2D transfer dominate startup at scale
+# (measured 45-65 s for 10k neurons over the relay; device init is ~1 s).
+_DEVICE_INIT_THRESHOLD = 4096
+
+
 def init_reservoir(
-    cfg: ReservoirConfig, n_channels: int, mean_weight: Optional[float] = None
+    cfg: ReservoirConfig,
+    n_channels: int,
+    mean_weight: Optional[float] = None,
+    device_init: Optional[bool] = None,
 ) -> ReservoirParams:
-    """Build topology + weights host-side (deterministic in cfg.seed)."""
+    """Build topology + weights (deterministic in cfg.seed).
+
+    Small reservoirs draw host-side with NumPy (the draws behind the
+    calibrated defaults and the frozen accuracy band); large ones draw on
+    device with jax.random (same distribution/topology contract, different
+    RNG stream — the reservoir contract is statistical, SURVEY.md 2.3).
+    `device_init` forces one path.
+    """
+    if device_init is None:
+        device_init = cfg.num_neurons >= _DEVICE_INIT_THRESHOLD
+    if device_init:
+        return _init_reservoir_device(cfg, n_channels, mean_weight)
     rng = np.random.default_rng(cfg.seed)
     n, n_pad = cfg.num_neurons, _round_up(cfg.num_neurons)
     c_pad = _round_up(n_channels)
@@ -134,6 +154,82 @@ def init_reservoir(
         w_rec=jnp.asarray(w_rec),
         w_in=jnp.asarray(w_in),
         leak=jnp.asarray(leak),
+        n_neurons=n,
+        n_outputs=cfg.num_output_neurons,
+        n_channels=n_channels,
+        threshold=cfg.membrane_threshold,
+        refractory=cfg.refractory_period,
+        burst_isi_max=cfg.burst_isi_max,
+        n_rate_windows=cfg.n_rate_windows,
+    )
+
+
+def _init_reservoir_device(
+    cfg: ReservoirConfig, n_channels: int, mean_weight: Optional[float]
+) -> ReservoirParams:
+    """Device-side reservoir init: directed-WS topology + weight draws as
+    one jitted program — no (N, N) host materialization, no H2D."""
+    n, n_pad = cfg.num_neurons, _round_up(cfg.num_neurons)
+    c_pad = _round_up(n_channels)
+    mw = cfg.mean_weight if mean_weight is None else mean_weight
+    half = cfg.small_world_k // 2
+    fanout = min(cfg.input_fanout, n)
+    std = abs(mw) * float(np.sqrt(cfg.weight_variance))
+
+    @functools.partial(jax.jit, static_argnames=())
+    def build(seed):
+        key = jax.random.PRNGKey(seed)
+        k_w, k_rw, k_tgt, k_in, k_leak = jax.random.split(key, 5)
+
+        rows = jnp.arange(n, dtype=jnp.int32)
+        offsets = jnp.arange(1, half + 1, dtype=jnp.int32)
+        ring = (rows[None, :] + offsets[:, None]) % n            # (half, n)
+        rewire = jax.random.uniform(k_rw, (half, n)) < cfg.small_world_p
+        new_t = jax.random.randint(k_tgt, (half, n), 0, n, jnp.int32)
+        targets = jnp.where(rewire, new_t, ring)
+        # Self-loops from rewiring: deterministic redraw by offset (same
+        # rule as the host path).
+        self_loop = targets == rows[None, :]
+        targets = jnp.where(
+            self_loop, (rows[None, :] + offsets[:, None] + half) % n, targets
+        )
+
+        mask = jnp.zeros((n_pad, n_pad), jnp.bool_)
+        src = jnp.broadcast_to(rows[None, :], (half, n)).reshape(-1)
+        mask = mask.at[src, targets.reshape(-1)].set(True)
+        mask = mask.at[rows, rows].set(False)                    # no self-loops
+
+        w = jax.random.normal(k_w, (n_pad, n_pad), jnp.float32) * std + mw
+        w_rec = jnp.where(mask, w, 0.0)
+
+        # Input projection: `fanout` distinct targets per channel, drawn as
+        # the top of a per-channel random permutation (exactly
+        # rng.choice(n, fanout, replace=False) semantics).
+        scores = jax.random.uniform(k_in, (n_channels, n))
+        _, proj = jax.lax.top_k(scores, fanout)                  # (C, fanout)
+        w_in = jnp.zeros((c_pad, n_pad), jnp.float32)
+        ch = jnp.broadcast_to(
+            jnp.arange(n_channels, dtype=jnp.int32)[:, None], proj.shape
+        )
+        w_in = w_in.at[ch.reshape(-1), proj.reshape(-1)].add(cfg.input_weight)
+
+        if cfg.leak_variance_divisor:
+            leak_n = jnp.clip(
+                cfg.leak_coefficient
+                + jax.random.normal(k_leak, (n,))
+                * (cfg.leak_coefficient / cfg.leak_variance_divisor),
+                0.0, 1.0,
+            )
+        else:
+            leak_n = jnp.full((n,), cfg.leak_coefficient, jnp.float32)
+        leak = jnp.zeros((n_pad,), jnp.float32).at[:n].set(leak_n)
+        return w_rec, w_in, leak
+
+    w_rec, w_in, leak = build(cfg.seed)
+    return ReservoirParams(
+        w_rec=w_rec,
+        w_in=w_in,
+        leak=leak,
         n_neurons=n,
         n_outputs=cfg.num_output_neurons,
         n_channels=n_channels,

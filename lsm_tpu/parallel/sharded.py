@@ -83,11 +83,26 @@ def _simulate_model_sharded_local(
     refractory: int,
     burst_isi_max: int,
     n_rate_windows: int,
+    n_outputs: int,
 ) -> Dict[str, jax.Array]:
-    """Per-shard LIF scan. Stats are kept for ALL local neurons; the caller
-    slices out the output-neuron columns after re-assembly."""
+    """Per-shard LIF scan.
+
+    The membrane/refractory update covers this shard's neuron slice; the
+    per-step all_gather (the TP RNN's one collective) assembles the full
+    spike vector for the next step's recurrent matmul — and since every
+    shard then HOLDS the full vector, the feature statistics accumulate
+    REPLICATED on the gathered output-neuron slice s_full[:, :n_outputs]
+    (O(B * n_outputs) per step) instead of per-shard over all local
+    neurons (O(B * N/m) — 25x more state at the 10k/400 scale, measured
+    ~40% slower end-to-end). Only `counts` also accumulates per-shard over
+    local neurons, for the full-reservoir participation diagnostics.
+
+    Returned stats are replicated across the model axis except
+    `local_counts` (sharded, (B, N/m)).
+    """
     B, C, T = spikes_in.shape
     n_local = w_rec_shard.shape[1]
+    no = n_outputs
     n_win = n_rate_windows
     win_len = max(1, T // n_win)
 
@@ -112,11 +127,13 @@ def _simulate_model_sharded_local(
         # The one collective per step: assemble the full spike vector.
         s_full = jax.lax.all_gather(s_local, MODEL_AXIS, axis=1, tiled=True)
 
+        so = s_full[:, :no]                                    # output neurons
+        so_b = so > 0.0
         tf = t.astype(jnp.float32)
         prev_t = st["prev_t"]
         has_prev = prev_t >= 0.0
         isi = tf - prev_t
-        isi_event = jnp.logical_and(spike, has_prev)
+        isi_event = jnp.logical_and(so_b, has_prev)
         isi_f = jnp.where(isi_event, isi, 0.0)
         wi = t // win_len
         win_onehot = (
@@ -125,32 +142,35 @@ def _simulate_model_sharded_local(
         ).astype(jnp.float32)
 
         new_st = dict(
-            counts=st["counts"] + s_local,
-            sum_t=st["sum_t"] + s_local * tf,
-            sum_t2=st["sum_t2"] + s_local * tf * tf,
-            first=jnp.minimum(st["first"], jnp.where(spike, tf, jnp.inf)),
-            last=jnp.maximum(st["last"], jnp.where(spike, tf, -1.0)),
+            local_counts=st["local_counts"] + s_local,
+            counts=st["counts"] + so,
+            sum_t=st["sum_t"] + so * tf,
+            sum_t2=st["sum_t2"] + so * tf * tf,
+            first=jnp.minimum(st["first"], jnp.where(so_b, tf, jnp.inf)),
+            last=jnp.maximum(st["last"], jnp.where(so_b, tf, -1.0)),
             n_isi=st["n_isi"] + isi_event.astype(jnp.float32),
             sum_isi=st["sum_isi"] + isi_f,
             sum_isi2=st["sum_isi2"] + isi_f * isi_f,
             bursts=st["bursts"]
             + jnp.logical_and(isi_event, isi <= burst_isi_max).astype(jnp.float32),
-            prev_t=jnp.where(spike, tf, prev_t),
-            win_counts=st["win_counts"] + s_local[:, :, None] * win_onehot,
+            prev_t=jnp.where(so_b, tf, prev_t),
+            win_counts=st["win_counts"] + so[:, :, None] * win_onehot,
         )
         return (v_new, refrac_new, s_full, new_st), None
 
-    z = jnp.zeros((B, n_local), jnp.float32)
+    z_loc = jnp.zeros((B, n_local), jnp.float32)
+    z_out = jnp.zeros((B, no), jnp.float32)
     init_stats = dict(
-        counts=z, sum_t=z, sum_t2=z,
-        first=jnp.full((B, n_local), jnp.inf, jnp.float32),
-        last=jnp.full((B, n_local), -1.0, jnp.float32),
-        n_isi=z, sum_isi=z, sum_isi2=z, bursts=z,
-        prev_t=jnp.full((B, n_local), -1.0, jnp.float32),
-        win_counts=jnp.zeros((B, n_local, n_win), jnp.float32),
+        local_counts=z_loc,
+        counts=z_out, sum_t=z_out, sum_t2=z_out,
+        first=jnp.full((B, no), jnp.inf, jnp.float32),
+        last=jnp.full((B, no), -1.0, jnp.float32),
+        n_isi=z_out, sum_isi=z_out, sum_isi2=z_out, bursts=z_out,
+        prev_t=jnp.full((B, no), -1.0, jnp.float32),
+        win_counts=jnp.zeros((B, no, n_win), jnp.float32),
     )
     n_full = w_rec_shard.shape[0]
-    init = (z, jnp.zeros((B, n_local), jnp.int32),
+    init = (z_loc, jnp.zeros((B, n_local), jnp.int32),
             jnp.zeros((B, n_full), jnp.float32), init_stats)
     ts = jnp.arange(T, dtype=jnp.int32)
     (_, _, _, st), _ = jax.lax.scan(step, init, (xs_t, ts))
@@ -184,16 +204,15 @@ def extract_features_model_sharded(
             w_rec, w_in, leak, spikes_local,
             params.threshold, params.refractory,
             params.burst_isi_max, params.n_rate_windows,
+            n_outputs=no,
         )
-        # Re-assemble per-neuron stats along the model axis, then slice the
-        # output neurons (the first `no` global columns) and build features.
-        full = {
-            k: jax.lax.all_gather(v, MODEL_AXIS, axis=1, tiled=True)
-            for k, v in st.items()
-        }
-        out = {k: v[:, :no] for k, v in full.items()}
-        out["all_counts"] = full["counts"][:, : params.n_neurons]
-        return features_from_stats(out, feature_keys)
+        # Output-neuron stats are already replicated across the model axis;
+        # only the full-reservoir counts (diagnostics) need re-assembly.
+        local_counts = st.pop("local_counts")
+        st["all_counts"] = jax.lax.all_gather(
+            local_counts, MODEL_AXIS, axis=1, tiled=True
+        )[:, : params.n_neurons]
+        return features_from_stats(st, feature_keys)
 
     fn = shard_map(
         local_fn,

@@ -49,14 +49,13 @@ def make_train_step(
             w_rec, w_in, leak, spikes_local,
             params.threshold, params.refractory,
             params.burst_isi_max, params.n_rate_windows,
+            n_outputs=no,
         )
-        full = {
-            k: jax.lax.all_gather(v, MODEL_AXIS, axis=1, tiled=True)
-            for k, v in st.items()
-        }
-        out = {k: v[:, :no] for k, v in full.items()}
-        out["all_counts"] = full["counts"][:, : params.n_neurons]
-        feats = features_from_stats(out, feature_keys)       # (B_local, D)
+        local_counts = st.pop("local_counts")
+        st["all_counts"] = jax.lax.all_gather(
+            local_counts, MODEL_AXIS, axis=1, tiled=True
+        )[:, : params.n_neurons]
+        feats = features_from_stats(st, feature_keys)        # (B_local, D)
 
         # Global standardization moments over the data axis.
         b_local = feats.shape[0]

@@ -58,7 +58,7 @@ def main() -> None:
     )
     t0 = time.perf_counter()
     params = res.init_reservoir(cfg, n_channels=128)
-    log(f"init (host draws + H2D): {time.perf_counter() - t0:.1f}s")
+    log(f"init (device draws, jit incl. compile): {time.perf_counter() - t0:.1f}s")
 
     keys = tuple(FEATURE_SETS["original"])
     rng = np.random.default_rng(0)
@@ -66,19 +66,22 @@ def main() -> None:
         (rng.random((args.batch, 128, args.t)) < 0.05).astype(np.uint8)
     )
 
+    # params must be an ARGUMENT, not a closure: closed-over weight arrays
+    # are embedded as HLO constants, and a 10k-neuron (400 MB) literal
+    # overflows the remote compile service's request limit.
     @jax.jit
-    def run_scalar(s):
-        feats = extract_features_model_sharded(params, s, keys, mesh)
+    def run_scalar(p, s):
+        feats = extract_features_model_sharded(p, s, keys, mesh)
         return jnp.sum(feats)
 
     t0 = time.perf_counter()
-    sval = float(run_scalar(spikes))
+    sval = float(run_scalar(params, spikes))
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s (sum={sval:.3e})")
 
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        float(run_scalar(spikes))
+        float(run_scalar(params, spikes))
         times.append(time.perf_counter() - t0)
     best = min(times)
     rate = args.batch / best
