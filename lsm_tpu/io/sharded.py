@@ -201,24 +201,46 @@ class ShardedSpikeDataset:
             yield SpikeDataset(x_spikes=data["X_spikes"], y_labels=data["y_labels"])
 
     def iter_batches(self, batch_size: int) -> Iterator[SpikeDataset]:
-        """Re-chunk shards into exact batch_size batches (last may be short)."""
-        buf_x: List[np.ndarray] = []
-        buf_y: List[np.ndarray] = []
-        n = 0
-        for shard in self.iter_shards():
-            buf_x.append(shard.x_spikes)
-            buf_y.append(shard.y_labels)
-            n += shard.x_spikes.shape[0]
-            while n >= batch_size:
-                x = np.concatenate(buf_x, axis=0)
-                y = np.concatenate(buf_y, axis=0)
-                yield SpikeDataset(x[:batch_size], y[:batch_size])
-                buf_x, buf_y = [x[batch_size:]], [y[batch_size:]]
-                n -= batch_size
-        if n:
-            yield SpikeDataset(
-                np.concatenate(buf_x, axis=0), np.concatenate(buf_y, axis=0)
+        """Re-chunk shards into exact batch_size batches (last may be short).
+
+        O(N) total copies: pending shard arrays are consumed via sliced
+        VIEWS with a read offset; each emitted batch is assembled with one
+        concatenate of exactly batch_size rows. (The previous
+        concatenate-the-whole-buffer-per-yield form was O(shard_size^2)
+        memcpy per shard and bottlenecked 100k-corpus streaming at ~170
+        utt/s.)
+        """
+        pending: List[Tuple[np.ndarray, np.ndarray, int]] = []
+        n_pending = 0
+
+        def pop(n: int) -> SpikeDataset:
+            nonlocal n_pending
+            parts_x, parts_y = [], []
+            need = n
+            while need:
+                x, y, off = pending[0]
+                take = min(need, x.shape[0] - off)
+                parts_x.append(x[off : off + take])
+                parts_y.append(y[off : off + take])
+                need -= take
+                n_pending -= take
+                if off + take == x.shape[0]:
+                    pending.pop(0)
+                else:
+                    pending[0] = (x, y, off + take)
+            if len(parts_x) == 1:
+                return SpikeDataset(parts_x[0], parts_y[0])
+            return SpikeDataset(
+                np.concatenate(parts_x, axis=0), np.concatenate(parts_y, axis=0)
             )
+
+        for shard in self.iter_shards():
+            pending.append((shard.x_spikes, shard.y_labels, 0))
+            n_pending += shard.x_spikes.shape[0]
+            while n_pending >= batch_size:
+                yield pop(batch_size)
+        if n_pending:
+            yield pop(n_pending)
 
     def load_all(self) -> SpikeDataset:
         xs, ys = [], []

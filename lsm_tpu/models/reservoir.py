@@ -432,6 +432,7 @@ def _pallas_lif_ok(params: "ReservoirParams", spikes_shape) -> bool:
     return vmem < 48 * 1024 * 1024
 
 
+@functools.partial(jax.jit, static_argnames=("feature_keys",))
 def extract_features(
     params: "ReservoirParams",
     spikes_in: jnp.ndarray,
@@ -439,7 +440,12 @@ def extract_features(
 ) -> jnp.ndarray:
     """Backend-dispatching feature extraction: the fused Pallas LIF kernel
     on TPU when the reservoir fits VMEM, the XLA scan otherwise. Both
-    produce identical features (bf16 matmul operands, f32 state)."""
+    produce identical features (bf16 matmul operands, f32 state).
+
+    Jitted as a whole: the dispatch is trace-time, and the stats->features
+    epilogue must not run as ~30 separate op dispatches — per-op dispatch
+    latency through the TPU relay dominated un-jitted streaming use
+    (measured 1.5 s/batch vs ~20 ms)."""
     if _pallas_lif_ok(params, spikes_in.shape):
         from lsm_tpu.ops.pallas.lif_kernel import simulate_batch_pallas
 

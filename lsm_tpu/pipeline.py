@@ -303,7 +303,7 @@ def extract_lsm_features(
         params = jax.device_put(params, meshlib.replicated(mesh))
 
     def extract(split: np.ndarray, desc: str) -> np.ndarray:
-        out = []
+        out, n_reals = [], []
         t0 = time.perf_counter()
         for start, stop in _batched(split.shape[0], bs):
             padded, n_real = _pad_batch(split[start:stop], bs)
@@ -313,11 +313,15 @@ def extract_lsm_features(
                 feats = extract_features_dp(
                     params, _place_batch(padded, mesh), keys, mesh
                 )
-            out.append(np.asarray(feats[:n_real]))
+            # Keep results on device until the loop ends: host batch prep
+            # overlaps device compute (async dispatch), no per-batch sync.
+            out.append(feats)
+            n_reals.append(n_real)
+        host = [np.asarray(f[:n]) for f, n in zip(out, n_reals)]
         dt = time.perf_counter() - t0
         log.info("%s: %d samples in %.2fs (%.1f utt/s)",
                  desc, split.shape[0], dt, split.shape[0] / max(dt, 1e-9))
-        return np.concatenate(out, axis=0)
+        return np.concatenate(host, axis=0)
 
     train_feat = extract(x_train, "Training")
     test_feat = extract(x_test, "Testing")
@@ -404,6 +408,71 @@ def train_and_evaluate(
     return TrainResult(
         accuracy=rep.accuracy, report=rep, params=params, n_iters=int(iters)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched offline inference at corpus scale (BASELINE.json configs[4])
+# ---------------------------------------------------------------------------
+
+def classify_spikes_streaming(
+    cfg: PipelineConfig,
+    source,
+    params: res.ReservoirParams,
+    readout: logistic.LogisticParams,
+    scaler_state,
+    mesh: MeshArg = "auto",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Classify an entire (possibly 100k-utterance) spike corpus, streaming.
+
+    `source` is a ShardedSpikeDataset (or any object with
+    `iter_batches(batch_size)` yielding SpikeDataset chunks): shards stream
+    from disk into fixed-shape device batches — host memory stays constant
+    at one batch — each batch shards over the mesh data axis, runs the
+    reservoir + readout, and only the int32 predictions return to host.
+    Returns (predictions, labels), both (N,) int32 in storage order.
+
+    This is the production shape of BASELINE configs[4]'s "batched offline
+    inference ... sharded DP across v5e-8": the reference has no inference
+    mode at all (its stage 3 both trains and evaluates).
+    """
+    mesh = _resolve_mesh(mesh)
+    keys = tuple(FEATURE_SETS[cfg.feature_set])
+    bs = _effective_batch(cfg.batch_size, mesh)
+    if mesh is not None:
+        from lsm_tpu.parallel.sharded import extract_features_dp
+
+        params = jax.device_put(params, meshlib.replicated(mesh))
+
+    # ONE jitted program per batch (per-op dispatch latency through the TPU
+    # relay would otherwise dominate), and predictions stay on device until
+    # the end so host-side shard decompression of batch k+1 overlaps the
+    # device compute of batch k (JAX async dispatch).
+    @jax.jit
+    def _classify(p, spikes_dev):
+        if mesh is None:
+            feats = res.extract_features(p, spikes_dev, keys)
+        else:
+            feats = extract_features_dp(p, spikes_dev, keys, mesh)
+        return logistic.predict(
+            readout, scaler.transform(scaler_state, feats)
+        )
+
+    preds_dev, n_reals, labels_out = [], [], []
+    n_total = 0
+    t0 = time.perf_counter()
+    for chunk in source.iter_batches(bs):
+        padded, n_real = _pad_batch(chunk.x_spikes, bs)
+        preds_dev.append(_classify(params, _place_batch(padded, mesh)))
+        n_reals.append(n_real)
+        labels_out.append(chunk.y_labels[:n_real])
+        n_total += n_real
+    preds_out = [
+        np.asarray(p)[:n] for p, n in zip(preds_dev, n_reals)
+    ]
+    dt = time.perf_counter() - t0
+    log.info("Classified %d utterances in %.2fs (%.1f utt/s)",
+             n_total, dt, n_total / max(dt, 1e-9))
+    return np.concatenate(preds_out), np.concatenate(labels_out)
 
 
 # ---------------------------------------------------------------------------
