@@ -34,6 +34,9 @@ def main() -> None:
                         help="Write an incrementally-sharded dataset dir "
                              "instead of one .npz (for 100k+ utterances).")
     parser.add_argument("--shard-size", type=int, default=8192)
+    parser.add_argument("--no-compress", action="store_true",
+                        help="Write sharded output uncompressed (~190x the "
+                             "disk, decompression-free streaming reads).")
     args = parser.parse_args()
     setup_logging()
     cfg = build_config(args)
@@ -59,6 +62,7 @@ def main() -> None:
                 Path(args.sharded_output) if args.sharded_output else None
             ),
             shard_size=args.shard_size,
+            compress=not args.no_compress,
             mesh=mesh,
         )
 

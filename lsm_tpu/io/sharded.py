@@ -42,10 +42,20 @@ class ShardedSpikeDatasetWriter:
     fresh start.
     """
 
-    def __init__(self, root: Path, shard_size: int = 8192, resume: bool = False):
+    def __init__(
+        self,
+        root: Path,
+        shard_size: int = 8192,
+        resume: bool = False,
+        compress: bool = True,
+    ):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self.shard_size = shard_size
+        # Spike trains compress ~190:1 under zlib, but single-core inflate
+        # becomes the streaming-read bottleneck at corpus scale; compress=False
+        # trades ~190x disk for decompression-free reads.
+        self.compress = compress
         self._x: List[np.ndarray] = []
         self._y: List[np.ndarray] = []
         self._f: List[np.ndarray] = []
@@ -131,7 +141,8 @@ class ShardedSpikeDatasetWriter:
         shard_f, rest_f = f[:n], f[n:]
         idx = len(self._shards)
         name = f"shard_{idx:05d}.npz"
-        np.savez_compressed(self.root / name, X_spikes=shard_x, y_labels=shard_y)
+        save = np.savez_compressed if self.compress else np.savez
+        save(self.root / name, X_spikes=shard_x, y_labels=shard_y)
         entry = {
             "file": name,
             "num_samples": int(shard_x.shape[0]),
@@ -195,10 +206,30 @@ class ShardedSpikeDataset:
     def is_partial(self) -> bool:
         return bool(self.manifest.get("partial", False))
 
-    def iter_shards(self) -> Iterator[SpikeDataset]:
-        for s in self.manifest["shards"]:
-            data = np.load(self.root / s["file"])
-            yield SpikeDataset(x_spikes=data["X_spikes"], y_labels=data["y_labels"])
+    def _load_shard(self, s: dict) -> SpikeDataset:
+        data = np.load(self.root / s["file"])
+        return SpikeDataset(x_spikes=data["X_spikes"], y_labels=data["y_labels"])
+
+    def iter_shards(self, prefetch: bool = False) -> Iterator[SpikeDataset]:
+        """Yield shards in order. With `prefetch`, the NEXT shard loads and
+        decompresses on a background thread while the caller consumes the
+        current one. Default OFF: on a single-core host the prefetch thread
+        competes with the consumer's own marshalling work and measured 35%
+        SLOWER at 100k-utterance scale; enable it on multi-core hosts."""
+        shards = self.manifest["shards"]
+        if not prefetch or len(shards) <= 1:
+            for s in shards:
+                yield self._load_shard(s)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(self._load_shard, shards[0])
+            for nxt in shards[1:]:
+                cur = fut.result()
+                fut = pool.submit(self._load_shard, nxt)
+                yield cur
+            yield fut.result()
 
     def iter_batches(self, batch_size: int) -> Iterator[SpikeDataset]:
         """Re-chunk shards into exact batch_size batches (last may be short).

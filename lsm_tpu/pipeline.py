@@ -94,6 +94,7 @@ def create_spike_dataset(
     output_path: Optional[Path] = None,
     sharded_output: Optional[Path] = None,
     shard_size: int = 8192,
+    compress: bool = True,
     mesh: MeshArg = "auto",
 ) -> artifacts.SpikeDataset:
     """Featurize a Speech Commands-style directory tree into spike trains.
@@ -119,7 +120,9 @@ def create_spike_dataset(
     if sharded_output is not None:
         from lsm_tpu.io.sharded import ShardedSpikeDatasetWriter
 
-        writer = ShardedSpikeDatasetWriter(sharded_output, shard_size, resume=True)
+        writer = ShardedSpikeDatasetWriter(
+            sharded_output, shard_size, resume=True, compress=compress
+        )
         first_file = writer.resume_file_index + 1
         if first_file:
             log.info(
