@@ -87,17 +87,34 @@ def main() -> None:
     def place(x):
         return meshlib.shard_batch(x, mesh) if mesh is not None else jnp.asarray(x)
 
+    # Under a mesh the Pallas kernels must run per-shard via shard_map
+    # (Mosaic custom calls have no GSPMD partitioning rule).
+    if mesh is not None:
+        from lsm_tpu.parallel.sharded import extract_features_dp, featurize_dp
+
+        def _feat(a):
+            return featurize_dp(a, fcfg, mesh)
+
+        def _extract(p, s):
+            return extract_features_dp(p, s, keys, mesh)
+    else:
+        def _feat(a):
+            return featurize_batch(a, fcfg)
+
+        def _extract(p, s):
+            return res.extract_features(p, s, keys)
+
     audio = place(audio_np)
     labels = place(labels_np)
 
     # --- setup (not timed): calibrate, build reservoir, fit readout --------
-    spikes0 = featurize_batch(audio, fcfg)
+    spikes0 = _feat(audio)
     _, mean_weight = calibrate_weight(rcfg, spikes0, multiplier=0.6)
     params = res.init_reservoir(rcfg, n_channels=args.n_filters,
                                 mean_weight=mean_weight)
     if mesh is not None:
         params = jax.device_put(params, meshlib.replicated(mesh))
-    feats0 = res.extract_features(params, spikes0, keys)
+    feats0 = _extract(params, spikes0)
     st = scaler.fit_scaler(feats0)
     train_x = scaler.transform(st, feats0)
     readout = logistic.fit_ridge(train_x, labels, num_classes=12, alpha=10.0)
@@ -111,8 +128,8 @@ def main() -> None:
     # forces the whole computation and cannot return early under the relay.
     @jax.jit
     def e2e_correct(audio_batch, label_batch):
-        spikes = featurize_batch(audio_batch, fcfg)
-        feats = res.extract_features(params, spikes, keys)
+        spikes = _feat(audio_batch)
+        feats = _extract(params, spikes)
         preds = logistic.predict(readout, scaler.transform(st, feats))
         return jnp.sum((preds == label_batch).astype(jnp.int32))
 
@@ -142,7 +159,12 @@ def main() -> None:
             write_synthetic_corpus(corpus, classes, n_per_class=n_cold // 12,
                                    seed=42)
             files = sorted(corpus.rglob("*.wav"))[:n_cold]
-            lab_cold = labels_np[: len(files)]
+            # Labels derived from each file's class directory (sorted rglob
+            # is class-major over c00..c11; labels_np is NOT aligned to it).
+            class_idx = {c: i for i, c in enumerate(classes)}
+            lab_cold = np.asarray(
+                [class_idx[f.parent.name] for f in files], np.int32
+            )
             # warmup (decode once, run once)
             batch, _, _ = load_audio_batch(files, fcfg.sample_rate, fcfg.duration)
             pad = (-batch.shape[0]) % n_chips if mesh is not None else 0

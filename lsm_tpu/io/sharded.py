@@ -48,6 +48,7 @@ class ShardedSpikeDatasetWriter:
         shard_size: int = 8192,
         resume: bool = False,
         compress: bool = True,
+        fingerprint: Optional[str] = None,
     ):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
@@ -56,27 +57,38 @@ class ShardedSpikeDatasetWriter:
         # becomes the streaming-read bottleneck at corpus scale; compress=False
         # trades ~190x disk for decompression-free reads.
         self.compress = compress
+        # Fingerprint of everything the shard contents depend on (config +
+        # input file list). Resume refuses to reuse shards written under a
+        # DIFFERENT fingerprint — otherwise changing e.g. the filterbank or
+        # adding files (which shifts sorted file indices) between runs would
+        # silently mix featurizations in one dataset.
+        self.fingerprint = fingerprint
         self._x: List[np.ndarray] = []
         self._y: List[np.ndarray] = []
         self._f: List[np.ndarray] = []
         self._buffered = 0
         self._shards: List[dict] = []
+        self._header_written = False
         self.resume_file_index = -1
 
         if resume:
             self._load_journal()
-        else:
-            # Fresh run: drop any stale journal/manifest so a crash of THIS
-            # run can't be confused with the previous one's state.
+        if not resume or self.resume_file_index < 0:
+            # Fresh run (or rejected resume): drop stale state so a crash of
+            # THIS run can't be confused with the previous one's.
             (self.root / _JOURNAL).unlink(missing_ok=True)
             (self.root / _MANIFEST).unlink(missing_ok=True)
+            self._shards = []
+            self.resume_file_index = -1
+            self._header_written = False
 
     def _load_journal(self) -> None:
         journal = self.root / _JOURNAL
         if not journal.exists():
             return
         entries = []
-        for line in journal.read_text().splitlines():
+        header_fp = None
+        for i, line in enumerate(journal.read_text().splitlines()):
             line = line.strip()
             if not line:
                 continue
@@ -84,6 +96,9 @@ class ShardedSpikeDatasetWriter:
                 e = json.loads(line)
             except json.JSONDecodeError:
                 break  # truncated trailing line from a crash mid-append
+            if "header" in e:
+                header_fp = e["header"].get("fingerprint")
+                continue
             if not (self.root / e["file"]).exists():
                 break  # journal ahead of disk (shouldn't happen; be safe)
             if e.get("last_file_index", -1) < 0:
@@ -91,17 +106,19 @@ class ShardedSpikeDatasetWriter:
                 entries = []
                 break
             entries.append(e)
+        if entries and header_fp != self.fingerprint:
+            # Shards were produced under a different config / input list.
+            entries = []
         if entries:
             self._shards = entries
             self.resume_file_index = entries[-1]["last_file_index"]
+            self._header_written = True
             # Rewrite the journal to exactly the validated prefix, dropping
             # any truncated/orphaned tail.
             with open(journal, "w") as f:
+                f.write(json.dumps({"header": {"fingerprint": header_fp}}) + "\n")
                 for e in entries:
                     f.write(json.dumps(e) + "\n")
-        else:
-            (self.root / _JOURNAL).unlink(missing_ok=True)
-            (self.root / _MANIFEST).unlink(missing_ok=True)
 
     def completed_shards(self) -> List[dict]:
         return list(self._shards)
@@ -151,6 +168,12 @@ class ShardedSpikeDatasetWriter:
         self._shards.append(entry)
         # The incremental manifest: journal the shard the moment it exists.
         with open(self.root / _JOURNAL, "a") as jf:
+            if not self._header_written:
+                jf.write(
+                    json.dumps({"header": {"fingerprint": self.fingerprint}})
+                    + "\n"
+                )
+                self._header_written = True
             jf.write(json.dumps(entry) + "\n")
             jf.flush()
         self._x = [rest_x] if rest_x.shape[0] else []
@@ -185,9 +208,11 @@ class ShardedSpikeDataset:
                 raise ValueError("unknown sharded dataset format")
         elif (self.root / _JOURNAL).exists():
             shards = [
-                json.loads(line)
+                e
                 for line in (self.root / _JOURNAL).read_text().splitlines()
                 if line.strip()
+                for e in [json.loads(line)]
+                if "header" not in e
             ]
             self.manifest = {
                 "format": _FORMAT,

@@ -43,6 +43,30 @@ def data_parallel_extract(
     return extract_features_batch(params, spikes, feature_keys)
 
 
+def featurize_dp(audio: jax.Array, fcfg, mesh: Mesh) -> jax.Array:
+    """Data-parallel featurization via shard_map.
+
+    Plain jit on a batch-sharded global array cannot partition the Pallas
+    gtgram kernel (Mosaic custom calls have no GSPMD rule); shard_map runs
+    the full single-device featurizer — Pallas kernel included — on each
+    device's local shard. Zero collectives (per-utterance independent).
+    Requires the global batch divisible by the data-axis size.
+    """
+    from lsm_tpu.models.frontend import featurize_batch
+
+    def local_fn(audio_local):
+        return featurize_batch(audio_local, fcfg)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P(DATA_AXIS, None),
+        out_specs=P(DATA_AXIS, None, None),
+        check_vma=False,
+    )
+    return fn(audio)
+
+
 def extract_features_dp(
     params: ReservoirParams,
     spikes: jax.Array,

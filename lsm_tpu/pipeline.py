@@ -84,6 +84,17 @@ def _place_batch(x: np.ndarray, mesh: Optional[Mesh]) -> jax.Array:
     return meshlib.shard_batch(np.asarray(x), mesh)
 
 
+def _featurize(audio_dev: jax.Array, fcfg, mesh: Optional[Mesh]) -> jax.Array:
+    """Featurize on one device or via shard_map over the mesh (the Pallas
+    gtgram kernel has no GSPMD partitioning rule, so the sharded path must
+    go through shard_map, mirroring extract_features_dp)."""
+    if mesh is None:
+        return featurize_batch(audio_dev, fcfg)
+    from lsm_tpu.parallel.sharded import featurize_dp
+
+    return featurize_dp(audio_dev, fcfg, mesh)
+
+
 # ---------------------------------------------------------------------------
 # Stage 1: audio files -> spike dataset
 # ---------------------------------------------------------------------------
@@ -118,10 +129,24 @@ def create_spike_dataset(
     writer = None
     first_file = 0
     if sharded_output is not None:
+        import hashlib
+
         from lsm_tpu.io.sharded import ShardedSpikeDatasetWriter
 
+        # Resume is only valid if the shards on disk were produced from the
+        # SAME featurization config and the SAME input file sequence —
+        # file indices anchor the resume, so an inserted/removed file (or a
+        # changed filterbank) must force a fresh run, not a silent mix.
+        h = hashlib.sha256()
+        h.update(repr(cfg.frontend).encode())
+        for p in idx.files:
+            h.update(str(p).encode())
+            h.update(b"\0")
+        fingerprint = h.hexdigest()
+
         writer = ShardedSpikeDatasetWriter(
-            sharded_output, shard_size, resume=True, compress=compress
+            sharded_output, shard_size, resume=True, compress=compress,
+            fingerprint=fingerprint,
         )
         first_file = writer.resume_file_index + 1
         if first_file:
@@ -146,7 +171,7 @@ def create_spike_dataset(
         if audio.shape[0] == 0:
             continue
         padded, n_real = _pad_batch(audio, bs)
-        spikes = featurize_batch(_place_batch(padded, mesh), fcfg)
+        spikes = _featurize(_place_batch(padded, mesh), fcfg, mesh)
         spikes = np.asarray(spikes[:n_real])
         labels = idx.labels[start:stop][kept]
         n_total += n_real
@@ -202,7 +227,7 @@ def featurize_audio_array(
     out = []
     for start, stop in _batched(audio.shape[0], bs):
         padded, n_real = _pad_batch(audio[start:stop], bs)
-        spikes = featurize_batch(_place_batch(padded, mesh), cfg.frontend)
+        spikes = _featurize(_place_batch(padded, mesh), cfg.frontend, mesh)
         out.append(np.asarray(spikes[:n_real]))
     return np.concatenate(out, axis=0)
 

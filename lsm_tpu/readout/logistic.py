@@ -150,13 +150,12 @@ def _pad_for_mesh(
     x: np.ndarray, y: np.ndarray, n_shards: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Zero-pad the batch to a shard multiple; weight 0 marks padded rows."""
-    n = x.shape[0]
-    target = -(-n // n_shards) * n_shards
-    w = np.zeros(target, np.float32)
+    from lsm_tpu.parallel.mesh import pad_to_multiple
+
+    x, n = pad_to_multiple(x, n_shards)
+    y, _ = pad_to_multiple(y, n_shards)
+    w = np.zeros(x.shape[0], np.float32)
     w[:n] = 1.0
-    if target != n:
-        x = np.pad(x, ((0, target - n), (0, 0)))
-        y = np.pad(y, (0, target - n))
     return x, y, w
 
 

@@ -195,8 +195,10 @@ void resample_sinc(const std::vector<float>& x, uint32_t src, uint32_t dst,
   }
   double ratio = static_cast<double>(dst) / src;
   size_t n_in = x.size();
+  // Half-to-even rounding to match Python round() in the NumPy twin
+  // (llround rounds half away from zero and diverges at exact .5).
   size_t n_out =
-      static_cast<size_t>(std::llround(static_cast<double>(n_in) * ratio));
+      static_cast<size_t>(std::nearbyint(static_cast<double>(n_in) * ratio));
   if (n_out <= 1 || n_in <= 1) {
     y.assign(n_out, 0.0f);
     return;

@@ -53,7 +53,7 @@ def main() -> None:
         cfg = PipelineConfig(**pcfg_kw_full)
         t0 = time.time()
         res, ext = pipeline.run_pipeline_arrays(cfg, audio, labels)
-        log(f"{tag::<42} acc={res.accuracy:.4f} "
+        log(f"{tag:<42} acc={res.accuracy:.4f} "
             f"regime={ext.diagnostics.regime} "
             f"part={ext.diagnostics.avg_participation:.1f}% "
             f"({time.time() - t0:.0f}s)")
