@@ -74,6 +74,29 @@ def test_writer_fresh_run_clears_stale_state(tmp_path):
     assert not (root / "manifest.json").exists()
 
 
+def test_resume_rejects_different_fingerprint(tmp_path):
+    """Shards written under one config/input list must NOT be reused when
+    either changes — a mismatched fingerprint forces a fresh run."""
+    root = tmp_path / "ds"
+    x = np.zeros((6, 2, 3), np.uint8)
+    y = np.zeros(6, np.int32)
+
+    w = ShardedSpikeDatasetWriter(root, shard_size=4, fingerprint="cfgA")
+    w.append(x, y, np.arange(6))
+    # crash (no close): 1 shard flushed under cfgA
+
+    # Same fingerprint: resume anchors after the flushed shard.
+    w2 = ShardedSpikeDatasetWriter(root, shard_size=4, resume=True,
+                                   fingerprint="cfgA")
+    assert w2.resume_file_index == 3
+
+    # Different fingerprint (config or file list changed): start fresh.
+    w3 = ShardedSpikeDatasetWriter(root, shard_size=4, resume=True,
+                                   fingerprint="cfgB")
+    assert w3.resume_file_index == -1
+    assert w3.completed_shards() == []
+
+
 def test_pipeline_resume_no_recompute(cfg, corpus_dir, tmp_path, monkeypatch):
     """Kill create_spike_dataset mid-run; rerun; complete + no recompute."""
     out = tmp_path / "sharded"
