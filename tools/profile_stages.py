@@ -41,36 +41,37 @@ def main():
     params = res.init_reservoir(rcfg, n_channels=fcfg.n_filters,
                                 mean_weight=0.0118)
 
-    @jax.jit
-    def _checksum(out):
-        leaves = jax.tree_util.tree_leaves(out)
-        return sum(jnp.sum(l, dtype=jnp.float32) for l in leaves)
-
-    def force(out):
-        # Reduce to a scalar and pull it to host: under the axon relay,
-        # block_until_ready on a large device buffer can return before the
-        # producing computation has run; a host-materialized data-dependent
-        # scalar cannot lie. The reduction is jitted so it is one fused pass
-        # (an eager astype+sum would add hundreds of ms of HBM traffic and
-        # dominate the measurement).
-        return float(_checksum(out))
-
     def timed(name, fn, *a):
-        out = fn(*a)
-        force(out)
+        # The timed program returns ONLY a fused scalar checksum pulled to
+        # host: under the axon relay (a) block_until_ready on a big buffer
+        # can return early, (b) a SEPARATE checksum dispatch adds a full
+        # round-trip (~15-30 ms), and (c) returning a large array from the
+        # timed program itself adds another per-buffer round-trip (~70 ms
+        # measured on a 123 MB output). The stage output for feeding the
+        # next stage is computed once OUTSIDE the timing.
+        @jax.jit
+        def run_scalar(*a):
+            leaves = jax.tree_util.tree_leaves(fn(*a))
+            return sum(jnp.sum(l, dtype=jnp.float32) for l in leaves)
+
+        float(run_scalar(*a))
         best = float("inf")
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            out = fn(*a)
-            force(out)
+            float(run_scalar(*a))
             best = min(best, time.perf_counter() - t0)
         print(f"{name:24s} {best*1e3:9.1f} ms   {args.n/best:10.0f} utt/s")
-        return out
+        return jax.jit(fn)(*a)
+
+    # The dispatch floor: a trivial jitted scalar round-trip — subtract this
+    # mentally from every stage number when comparing against fused e2e.
+    timed("(dispatch floor)", lambda a: jnp.float32(0.0) * a[0, 0], audio)
 
     spikes = timed("featurize", lambda a: featurize_batch(a, fcfg), audio)
+    # The production dispatcher (Pallas LIF kernel on TPU when it fits VMEM).
     feats = timed(
         "reservoir+features",
-        lambda s: res.extract_features_batch(params, s, keys),
+        lambda s: res.extract_features(params, s, keys),
         spikes,
     )
     st = scaler.fit_scaler(feats)
