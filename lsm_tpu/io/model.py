@@ -1,0 +1,115 @@
+"""Trained-model artifact: everything needed for standalone inference.
+
+The reference has no model persistence at all — train_classifier.py
+re-trains from the features artifact on every invocation and nothing can
+classify new audio without re-running the whole pipeline. A production
+framework needs a deployable bundle: this artifact packs the reservoir
+(weights, not just the seed — robust to RNG-implementation drift), the
+train-split scaler moments, the readout, the frontend configuration and
+the class names into one .npz, so `classify.py --model m.npz` can score
+raw WAVs or spike datasets directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from lsm_tpu.config import FrontendConfig
+from lsm_tpu.models.reservoir import ReservoirParams
+from lsm_tpu.readout.logistic import LogisticParams
+from lsm_tpu.readout.scaler import ScalerState
+
+MODEL_FILENAME = "lsm_model.npz"
+_FORMAT = "lsm_tpu.model.v1"
+
+
+class ModelBundle(NamedTuple):
+    reservoir: ReservoirParams
+    readout: LogisticParams
+    scaler: ScalerState
+    frontend: FrontendConfig
+    feature_set: str
+    class_names: tuple
+
+
+def save_model(
+    path: Path,
+    reservoir: ReservoirParams,
+    readout: LogisticParams,
+    scaler: ScalerState,
+    frontend: FrontendConfig,
+    feature_set: str,
+    class_names: Sequence[str],
+) -> None:
+    meta = {
+        "format": _FORMAT,
+        "feature_set": feature_set,
+        "class_names": list(class_names),
+        "frontend": dataclasses.asdict(frontend),
+        "reservoir_static": {
+            "n_neurons": reservoir.n_neurons,
+            "n_outputs": reservoir.n_outputs,
+            "n_channels": reservoir.n_channels,
+            "threshold": reservoir.threshold,
+            "refractory": reservoir.refractory,
+            "burst_isi_max": reservoir.burst_isi_max,
+            "n_rate_windows": reservoir.n_rate_windows,
+        },
+    }
+    np.savez_compressed(
+        path,
+        meta=json.dumps(meta),
+        w_rec=np.asarray(reservoir.w_rec),
+        w_in=np.asarray(reservoir.w_in),
+        leak=np.asarray(reservoir.leak),
+        readout_w=np.asarray(readout.w),
+        readout_b=np.asarray(readout.b),
+        scaler_mean=np.asarray(scaler.mean),
+        scaler_scale=np.asarray(scaler.scale),
+    )
+
+
+def load_model(path: Path) -> ModelBundle:
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(f"Model file not found: '{path}'")
+    data = np.load(path, allow_pickle=True)
+    meta = json.loads(str(data["meta"]))
+    if meta.get("format") != _FORMAT:
+        raise ValueError(f"unknown model format in '{path}'")
+    rs = meta["reservoir_static"]
+    fdict = meta["frontend"]
+    # Tuples were serialized as lists; restore for the frozen dataclass.
+    if isinstance(fdict.get("spike_thresholds"), list):
+        fdict["spike_thresholds"] = tuple(fdict["spike_thresholds"])
+    reservoir = ReservoirParams(
+        w_rec=jnp.asarray(data["w_rec"]),
+        w_in=jnp.asarray(data["w_in"]),
+        leak=jnp.asarray(data["leak"]),
+        n_neurons=int(rs["n_neurons"]),
+        n_outputs=int(rs["n_outputs"]),
+        n_channels=int(rs["n_channels"]),
+        threshold=float(rs["threshold"]),
+        refractory=int(rs["refractory"]),
+        burst_isi_max=int(rs["burst_isi_max"]),
+        n_rate_windows=int(rs["n_rate_windows"]),
+    )
+    return ModelBundle(
+        reservoir=reservoir,
+        readout=LogisticParams(
+            w=jnp.asarray(data["readout_w"]), b=jnp.asarray(data["readout_b"])
+        ),
+        scaler=ScalerState(
+            mean=jnp.asarray(data["scaler_mean"]),
+            scale=jnp.asarray(data["scaler_scale"]),
+        ),
+        frontend=FrontendConfig(**fdict),
+        feature_set=meta["feature_set"],
+        class_names=tuple(meta["class_names"]),
+    )

@@ -243,6 +243,7 @@ class ExtractionResult:
     mean_weight: float
     diagnostics: DiagnosticsReport
     params: res.ReservoirParams
+    scaler: Optional[scaler.ScalerState] = None
 
 
 def stratified_split(
@@ -374,6 +375,7 @@ def extract_lsm_features(
         mean_weight=mean_weight,
         diagnostics=report,
         params=params,
+        scaler=st,
     )
 
 

@@ -38,6 +38,9 @@ def main() -> None:
     add_extension_flags(parser)
     parser.add_argument("--skip-artifacts", action="store_true",
                         help="Skip writing intermediate .npz artifacts.")
+    parser.add_argument("--save-model", type=str, default=None,
+                        help="Persist the trained model (reservoir + scaler "
+                             "+ readout + frontend config) for classify.py.")
     args = parser.parse_args()
     setup_logging()
     cfg = build_config(args)
@@ -73,6 +76,20 @@ def main() -> None:
     print(f"Test Accuracy: {result.accuracy * 100:.2f}%\n")
     print("Classification Report:")
     print(result.report.render())
+
+    if args.save_model:
+        from lsm_tpu.io import model as model_io
+
+        model_io.save_model(
+            Path(args.save_model),
+            reservoir=ext.params,
+            readout=result.params,
+            scaler=ext.scaler,
+            frontend=cfg.frontend,
+            feature_set=cfg.feature_set,
+            class_names=cfg.commands,
+        )
+        print(f"Model saved to '{args.save_model}'")
 
     print("\n--- Pipeline Finished ---")
 
