@@ -138,6 +138,16 @@ class ReservoirConfig:
     # Number of equal time windows used for the windowed-rate variance
     # behind the `spike_variances` feature [inferred].
     n_rate_windows: int = 10
+    # Block-sparse scaled reservoirs (models/sparse.py): number of random
+    # long-range partner blocks per 128-neuron source block. Rewired edges
+    # (fraction small_world_p) land inside the source block's partner
+    # blocks instead of uniformly over all neurons, which makes the weight
+    # matrix BLOCK-sparse (band + R blocks per block-row) so the recurrent
+    # matmul/HBM cost scales with the ~10% true density instead of N^2.
+    # Same out-degree k/2, same weight distribution, same small-world
+    # short-path property (an R-regular random block digraph is an
+    # expander); the reservoir contract is statistical (SURVEY.md 2.3).
+    sparse_partner_blocks: int = 4
     seed: int = 42                     # np.random.seed(42), extract_lsm_features.py:30
 
 

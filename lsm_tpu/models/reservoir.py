@@ -245,6 +245,89 @@ def with_weights(params: ReservoirParams, cfg: ReservoirConfig, mean_weight: flo
     return init_reservoir(cfg, params.n_channels, mean_weight=mean_weight)
 
 
+def init_output_stats(B: int, no: int, n_win: int) -> Dict[str, jnp.ndarray]:
+    """Zero-state for the streaming output-neuron statistics carry.
+
+    Shared by every simulation path (dense scan, block-sparse scan, the
+    tensor-parallel shard_map scan) so the statistics semantics cannot
+    drift between them. `all_counts` / `local_counts` (full-reservoir
+    participation counts) are path-specific and owned by the caller.
+    """
+    z = jnp.zeros((B, no), jnp.float32)
+    return dict(
+        counts=z,
+        sum_t=z,
+        sum_t2=z,
+        first=jnp.full((B, no), jnp.inf, jnp.float32),
+        last=jnp.full((B, no), -1.0, jnp.float32),
+        n_isi=z,
+        sum_isi=z,
+        sum_isi2=z,
+        bursts=z,
+        prev_t=jnp.full((B, no), -1.0, jnp.float32),
+        win_counts=jnp.zeros((B, no, n_win), jnp.float32),
+    )
+
+
+def update_output_stats(
+    st: Dict[str, jnp.ndarray],
+    so: jnp.ndarray,          # (B, no) bool — output-neuron spikes this step
+    t: jnp.ndarray,           # scalar int32 timestep
+    win_len: int,
+    n_win: int,
+    burst_isi_max: int,
+) -> Dict[str, jnp.ndarray]:
+    """One streaming-stats update (the snnpy `extract_features_from_spikes`
+    statistics recast as scan-carried accumulators; SURVEY.md section 7.3)."""
+    sof = so.astype(jnp.float32)
+    tf = t.astype(jnp.float32)
+
+    prev_t = st["prev_t"]
+    has_prev = prev_t >= 0.0
+    isi = tf - prev_t
+    isi_event = jnp.logical_and(so, has_prev)
+    isi_f = jnp.where(isi_event, isi, 0.0)
+
+    wi = t // win_len
+    win_onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_win), 2)
+        == jnp.minimum(wi, n_win - 1)
+    ).astype(jnp.float32)
+
+    return dict(
+        counts=st["counts"] + sof,
+        sum_t=st["sum_t"] + sof * tf,
+        sum_t2=st["sum_t2"] + sof * tf * tf,
+        first=jnp.minimum(st["first"], jnp.where(so, tf, jnp.inf)),
+        last=jnp.maximum(st["last"], jnp.where(so, tf, -1.0)),
+        n_isi=st["n_isi"] + isi_event.astype(jnp.float32),
+        sum_isi=st["sum_isi"] + isi_f,
+        sum_isi2=st["sum_isi2"] + isi_f * isi_f,
+        bursts=st["bursts"]
+        + jnp.logical_and(isi_event, isi <= burst_isi_max).astype(jnp.float32),
+        prev_t=jnp.where(so, tf, prev_t),
+        win_counts=st["win_counts"] + sof[:, :, None] * win_onehot,
+    )
+
+
+def lif_update(
+    v: jnp.ndarray,
+    refrac: jnp.ndarray,
+    drive: jnp.ndarray,
+    leak_keep: jnp.ndarray,
+    threshold: float,
+    refractory: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One LIF membrane step: leak + integrate, threshold, reset, refractory.
+    Returns (v_new, refrac_new, spike_bool)."""
+    active = refrac == 0
+    v_new = jnp.where(active, v * leak_keep + drive, 0.0)
+    spike = jnp.logical_and(v_new >= threshold, active)
+    v_new = jnp.where(spike, 0.0, v_new)
+    refrac_new = jnp.where(spike, refractory, jnp.maximum(refrac - 1, 0))
+    return v_new, refrac_new, spike
+
+
 def simulate_batch(
     params: ReservoirParams,
     spikes_in: jnp.ndarray,
@@ -297,63 +380,20 @@ def simulate_batch(
             + jnp.dot(x_t.astype(mm), w_in, preferred_element_type=jnp.float32)
         ).astype(compute_dtype)
 
-        active = refrac == 0
-        v_new = jnp.where(active, v * leak_keep + drive, 0.0)
-        spike = jnp.logical_and(v_new >= thr, active)
-        v_new = jnp.where(spike, 0.0, v_new)
-        refrac_new = jnp.where(spike, params.refractory, jnp.maximum(refrac - 1, 0))
-
+        v_new, refrac_new, spike = lif_update(
+            v, refrac, drive, leak_keep, thr, params.refractory
+        )
         s = spike.astype(compute_dtype)
         so = spike[:, :no]                                   # output-neuron spikes
-        sof = so.astype(jnp.float32)
-        tf = t.astype(jnp.float32)
 
-        prev_t = st["prev_t"]
-        has_prev = prev_t >= 0.0
-        isi = tf - prev_t
-        isi_event = jnp.logical_and(so, has_prev)
-        isi_f = jnp.where(isi_event, isi, 0.0)
-
-        wi = t // win_len
-        win_onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_win), 2)
-            == jnp.minimum(wi, n_win - 1)
-        ).astype(jnp.float32)
-
-        new_st = dict(
-            counts=st["counts"] + sof,
-            sum_t=st["sum_t"] + sof * tf,
-            sum_t2=st["sum_t2"] + sof * tf * tf,
-            first=jnp.minimum(st["first"], jnp.where(so, tf, jnp.inf)),
-            last=jnp.maximum(st["last"], jnp.where(so, tf, -1.0)),
-            n_isi=st["n_isi"] + isi_event.astype(jnp.float32),
-            sum_isi=st["sum_isi"] + isi_f,
-            sum_isi2=st["sum_isi2"] + isi_f * isi_f,
-            bursts=st["bursts"]
-            + jnp.logical_and(isi_event, isi <= params.burst_isi_max).astype(
-                jnp.float32
-            ),
-            prev_t=jnp.where(so, tf, prev_t),
-            win_counts=st["win_counts"] + sof[:, :, None] * win_onehot,
-            all_counts=st["all_counts"] + spike.astype(jnp.float32),
+        new_st = update_output_stats(
+            st, so, t, win_len, n_win, params.burst_isi_max
         )
+        new_st["all_counts"] = st["all_counts"] + spike.astype(jnp.float32)
         return (v_new, refrac_new, s, new_st), None
 
-    z_out = jnp.zeros((B, no), jnp.float32)
-    init_stats = dict(
-        counts=z_out,
-        sum_t=z_out,
-        sum_t2=z_out,
-        first=jnp.full((B, no), jnp.inf, jnp.float32),
-        last=jnp.full((B, no), -1.0, jnp.float32),
-        n_isi=z_out,
-        sum_isi=z_out,
-        sum_isi2=z_out,
-        bursts=z_out,
-        prev_t=jnp.full((B, no), -1.0, jnp.float32),
-        win_counts=jnp.zeros((B, no, n_win), jnp.float32),
-        all_counts=jnp.zeros((B, n_pad), jnp.float32),
-    )
+    init_stats = init_output_stats(B, no, n_win)
+    init_stats["all_counts"] = jnp.zeros((B, n_pad), jnp.float32)
     init = (
         jnp.zeros((B, n_pad), compute_dtype),
         jnp.zeros((B, n_pad), jnp.int32),

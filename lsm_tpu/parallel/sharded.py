@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from lsm_tpu.models import reservoir as res
 from lsm_tpu.models.reservoir import ReservoirParams, features_from_stats
 from lsm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
@@ -108,6 +109,7 @@ def _simulate_model_sharded_local(
     burst_isi_max: int,
     n_rate_windows: int,
     n_outputs: int,
+    matmul_dtype=None,
 ) -> Dict[str, jax.Array]:
     """Per-shard LIF scan.
 
@@ -132,67 +134,37 @@ def _simulate_model_sharded_local(
 
     xs_t = jnp.moveaxis(spikes_in.astype(jnp.float32), -1, 0)
     leak_keep = 1.0 - leak_shard
+    mm = matmul_dtype or jnp.float32
+    w_rec_mm = w_rec_shard.astype(mm)
+    w_in_mm = w_in_shard.astype(mm)
 
     def step(carry, inp):
         x_t, t = inp
         v, refrac, s_prev_full, st = carry
         # s_prev_full: (B, N) — gathered full spike vector from last step.
         drive = (
-            jnp.dot(s_prev_full, w_rec_shard, preferred_element_type=jnp.float32)
-            + jnp.dot(x_t, w_in_shard, preferred_element_type=jnp.float32)
+            jnp.dot(s_prev_full.astype(mm), w_rec_mm,
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(x_t.astype(mm), w_in_mm,
+                      preferred_element_type=jnp.float32)
         )
-        active = refrac == 0
-        v_new = jnp.where(active, v * leak_keep + drive, 0.0)
-        spike = jnp.logical_and(v_new >= threshold, active)
-        v_new = jnp.where(spike, 0.0, v_new)
-        refrac_new = jnp.where(spike, refractory, jnp.maximum(refrac - 1, 0))
-
+        v_new, refrac_new, spike = res.lif_update(
+            v, refrac, drive, leak_keep, threshold, refractory
+        )
         s_local = spike.astype(jnp.float32)                    # (B, N/m)
         # The one collective per step: assemble the full spike vector.
         s_full = jax.lax.all_gather(s_local, MODEL_AXIS, axis=1, tiled=True)
 
-        so = s_full[:, :no]                                    # output neurons
-        so_b = so > 0.0
-        tf = t.astype(jnp.float32)
-        prev_t = st["prev_t"]
-        has_prev = prev_t >= 0.0
-        isi = tf - prev_t
-        isi_event = jnp.logical_and(so_b, has_prev)
-        isi_f = jnp.where(isi_event, isi, 0.0)
-        wi = t // win_len
-        win_onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_win), 2)
-            == jnp.minimum(wi, n_win - 1)
-        ).astype(jnp.float32)
-
-        new_st = dict(
-            local_counts=st["local_counts"] + s_local,
-            counts=st["counts"] + so,
-            sum_t=st["sum_t"] + so * tf,
-            sum_t2=st["sum_t2"] + so * tf * tf,
-            first=jnp.minimum(st["first"], jnp.where(so_b, tf, jnp.inf)),
-            last=jnp.maximum(st["last"], jnp.where(so_b, tf, -1.0)),
-            n_isi=st["n_isi"] + isi_event.astype(jnp.float32),
-            sum_isi=st["sum_isi"] + isi_f,
-            sum_isi2=st["sum_isi2"] + isi_f * isi_f,
-            bursts=st["bursts"]
-            + jnp.logical_and(isi_event, isi <= burst_isi_max).astype(jnp.float32),
-            prev_t=jnp.where(so_b, tf, prev_t),
-            win_counts=st["win_counts"] + so[:, :, None] * win_onehot,
+        so = s_full[:, :no] > 0.0                              # output neurons
+        new_st = res.update_output_stats(
+            st, so, t, win_len, n_win, burst_isi_max
         )
+        new_st["local_counts"] = st["local_counts"] + s_local
         return (v_new, refrac_new, s_full, new_st), None
 
     z_loc = jnp.zeros((B, n_local), jnp.float32)
-    z_out = jnp.zeros((B, no), jnp.float32)
-    init_stats = dict(
-        local_counts=z_loc,
-        counts=z_out, sum_t=z_out, sum_t2=z_out,
-        first=jnp.full((B, no), jnp.inf, jnp.float32),
-        last=jnp.full((B, no), -1.0, jnp.float32),
-        n_isi=z_out, sum_isi=z_out, sum_isi2=z_out, bursts=z_out,
-        prev_t=jnp.full((B, no), -1.0, jnp.float32),
-        win_counts=jnp.zeros((B, no, n_win), jnp.float32),
-    )
+    init_stats = res.init_output_stats(B, no, n_win)
+    init_stats["local_counts"] = z_loc
     n_full = w_rec_shard.shape[0]
     init = (z_loc, jnp.zeros((B, n_local), jnp.int32),
             jnp.zeros((B, n_full), jnp.float32), init_stats)
@@ -203,11 +175,107 @@ def _simulate_model_sharded_local(
     return st
 
 
+def extract_features_model_sharded_sparse(
+    params,                        # models.sparse.SparseReservoirParams
+    spikes: jax.Array,
+    feature_keys: Tuple[str, ...],
+    mesh: Mesh,
+    matmul_dtype=None,
+) -> jax.Array:
+    """DP x TP BLOCK-SPARSE reservoir extraction (scaled configs).
+
+    Destination blocks shard along 'model': each shard owns nb/m rows of
+    (w_blocks, src_idx) and updates its neuron slice; `sparse_drive` reads
+    the GATHERED full spike vector, so src_idx's global block indices are
+    valid per shard unchanged. Same one all_gather per step as the dense
+    TP path, but the per-shard matmul and weight traffic scale with the
+    true ~10% density instead of N*N/m.
+
+    matmul_dtype: operand dtype for the block matmuls (None = f32 exact;
+    bfloat16 for production — same statistical-contract argument as the
+    dense path, models/reservoir.py simulate_batch docstring).
+    """
+    from lsm_tpu.models.sparse import BLOCK, sparse_drive
+
+    n = params.n_neurons
+    no = params.n_outputs
+    nb = n // BLOCK
+    m = mesh.shape[MODEL_AXIS]
+    if nb % m:
+        raise ValueError(f"{nb} dst blocks not divisible by model axis {m}")
+    c_pad = params.w_in.shape[0]
+    if spikes.shape[1] != c_pad:
+        spikes = jnp.pad(spikes, ((0, 0), (0, c_pad - spikes.shape[1]), (0, 0)))
+    mm = matmul_dtype or jnp.float32
+
+    def local_fn(w_blocks, src_idx, w_in, leak, spikes_local):
+        B, C, T = spikes_local.shape
+        n_local = w_blocks.shape[0] * BLOCK
+        n_win = params.n_rate_windows
+        win_len = max(1, T // n_win)
+        xs_t = jnp.moveaxis(spikes_local.astype(jnp.float32), -1, 0)
+        leak_keep = 1.0 - leak
+        wb = w_blocks.astype(mm)
+        w_in_mm = w_in.astype(mm)
+
+        def step(carry, inp):
+            x_t, t = inp
+            v, refrac, s_prev_full, st = carry
+            drive = sparse_drive(s_prev_full, wb, src_idx, mm) + jnp.dot(
+                x_t.astype(mm), w_in_mm, preferred_element_type=jnp.float32
+            )
+            v_new, refrac_new, spike = res.lif_update(
+                v, refrac, drive, leak_keep, params.threshold, params.refractory
+            )
+            s_local = spike.astype(jnp.float32)
+            s_full = jax.lax.all_gather(s_local, MODEL_AXIS, axis=1, tiled=True)
+            so = s_full[:, :no] > 0.0
+            new_st = res.update_output_stats(
+                st, so, t, win_len, n_win, params.burst_isi_max
+            )
+            new_st["local_counts"] = st["local_counts"] + s_local
+            return (v_new, refrac_new, s_full, new_st), None
+
+        init_stats = res.init_output_stats(B, no, n_win)
+        init_stats["local_counts"] = jnp.zeros((B, n_local), jnp.float32)
+        init = (
+            jnp.zeros((B, n_local), jnp.float32),
+            jnp.zeros((B, n_local), jnp.int32),
+            jnp.zeros((B, n), jnp.float32),
+            init_stats,
+        )
+        ts = jnp.arange(T, dtype=jnp.int32)
+        (_, _, _, st), _ = jax.lax.scan(step, init, (xs_t, ts))
+        st = dict(st)
+        st.pop("prev_t")
+        local_counts = st.pop("local_counts")
+        st["all_counts"] = jax.lax.all_gather(
+            local_counts, MODEL_AXIS, axis=1, tiled=True
+        )[:, :n]
+        return features_from_stats(st, feature_keys)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(MODEL_AXIS),           # w_blocks: (nb/m, S, BLOCK, BLOCK)
+            P(MODEL_AXIS),           # src_idx:  (nb/m, S)
+            P(None, MODEL_AXIS),     # w_in:     (C, N/m)
+            P(MODEL_AXIS),           # leak:     (N/m,)
+            P(DATA_AXIS, None, None),
+        ),
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,
+    )
+    return fn(params.w_blocks, params.src_idx, params.w_in, params.leak, spikes)
+
+
 def extract_features_model_sharded(
     params: ReservoirParams,
     spikes: jax.Array,
     feature_keys: Tuple[str, ...],
     mesh: Mesh,
+    matmul_dtype=None,
 ) -> jax.Array:
     """DP x TP reservoir feature extraction under shard_map.
 
@@ -228,7 +296,7 @@ def extract_features_model_sharded(
             w_rec, w_in, leak, spikes_local,
             params.threshold, params.refractory,
             params.burst_isi_max, params.n_rate_windows,
-            n_outputs=no,
+            n_outputs=no, matmul_dtype=matmul_dtype,
         )
         # Output-neuron stats are already replicated across the model axis;
         # only the full-reservoir counts (diagnostics) need re-assembly.

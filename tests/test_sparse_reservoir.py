@@ -1,0 +1,192 @@
+"""Block-sparse reservoir (models/sparse.py) correctness.
+
+The sparse path must be EXACTLY the dense LIF dynamics on the densified
+weight matrix: we snap weights to a dyadic grid (all f32 sums then exact
+regardless of summation order) and require bit-equal features between
+`extract_features_sparse` and the dense `extract_features_batch` on
+densify(params). Structure properties (out-degree, block count, band)
+are checked directly on the generated blocks.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lsm_tpu.config import FEATURE_SETS, ReservoirConfig
+from lsm_tpu.models import reservoir as res
+from lsm_tpu.models import sparse
+
+KEYS = tuple(FEATURE_SETS["all"])
+
+
+def _cfg(n=512, k=102, **kw):
+    kw.setdefault("num_output_neurons", 128)
+    kw.setdefault("mean_weight", 0.02)
+    kw.setdefault("input_fanout", 6)
+    return ReservoirConfig(
+        num_neurons=n, small_world_k=k, **kw
+    )
+
+
+def _quantize(params):
+    q = lambda a: jnp.round(jnp.asarray(a) * 256.0) / 256.0
+    return dataclasses.replace(
+        params,
+        w_blocks=q(params.w_blocks),
+        w_in=q(params.w_in),
+        leak=jnp.zeros_like(params.leak),
+    )
+
+
+def test_rejects_non_multiple_of_block():
+    with pytest.raises(ValueError):
+        sparse.init_reservoir_sparse(_cfg(n=1000, k=200), n_channels=32)
+
+
+def test_structure_out_degree_and_blocks():
+    cfg = _cfg(n=512, k=102, sparse_partner_blocks=2, seed=7)
+    params = sparse.init_reservoir_sparse(cfg, n_channels=32)
+    nb = 512 // sparse.BLOCK
+    half = cfg.small_world_k // 2
+    assert params.n_band == (sparse.BLOCK - 1 + half) // sparse.BLOCK + 1
+    S = params.n_band + cfg.sparse_partner_blocks
+    assert params.w_blocks.shape == (nb, S, sparse.BLOCK, sparse.BLOCK)
+    assert params.src_idx.shape == (nb, S)
+
+    # Band slots reference ring-predecessor blocks.
+    src_idx = np.asarray(params.src_idx)
+    for d in range(params.n_band):
+        np.testing.assert_array_equal(
+            src_idx[:, d], (np.arange(nb) - d) % nb
+        )
+    # Partner slots are permutations: every block appears exactly once per r.
+    for s in range(params.n_band, S):
+        assert sorted(src_idx[:, s]) == list(range(nb))
+
+    dense = sparse.densify(params)
+    w = np.asarray(dense.w_rec)
+    # No self-loops.
+    assert np.diagonal(w).max() == 0.0
+    # Out-degree: exactly k/2 out-edges per neuron up to rare collisions.
+    out_deg = (w != 0).sum(axis=1)
+    assert (out_deg <= half).all()
+    assert out_deg.min() >= half - 5
+    assert out_deg.mean() > half - 1
+    # Weight distribution: mean/std follow the config (statistical contract).
+    vals = w[w != 0]
+    std = abs(cfg.mean_weight) * np.sqrt(cfg.weight_variance)
+    assert abs(vals.mean() - cfg.mean_weight) < 3 * std / np.sqrt(len(vals)) * 5
+    assert abs(vals.std() - std) / std < 0.05
+
+
+def test_sparse_matches_densified_dense_bitwise(rng):
+    """The block-sparse scan on W_sparse == the dense scan on densify(W):
+    same spikes, same features, bit-for-bit (dyadic weights, f32)."""
+    cfg = _cfg(n=384, k=76, sparse_partner_blocks=2, seed=3)
+    params = _quantize(sparse.init_reservoir_sparse(cfg, n_channels=32))
+    dense_params = sparse.densify(params)
+
+    spikes = (rng.random((5, 32, 40)) < 0.15).astype(np.uint8)
+    f_sparse = np.asarray(
+        sparse.extract_features_sparse(
+            params, jnp.asarray(spikes), KEYS, matmul_dtype=None
+        )
+    )
+    f_dense = np.asarray(
+        res.extract_features_batch(
+            dense_params, jnp.asarray(spikes), KEYS, matmul_dtype=None
+        )
+    )
+    np.testing.assert_array_equal(f_sparse, f_dense)
+    assert f_sparse[:, : params.n_outputs].sum() > 0  # actually fired
+
+
+def test_model_sharded_sparse_matches_single_device(rng):
+    """TP block-sparse (2x4 CPU mesh) == single-device sparse, bit-equal
+    under dyadic weights (same per-dst-block contraction, f32)."""
+    from lsm_tpu.parallel import mesh as meshlib
+    from lsm_tpu.parallel.sharded import extract_features_model_sharded_sparse
+
+    cfg = _cfg(n=512, k=102, sparse_partner_blocks=2, seed=5)
+    params = _quantize(sparse.init_reservoir_sparse(cfg, n_channels=32))
+    spikes = (rng.random((8, 32, 40)) < 0.15).astype(np.uint8)
+
+    single = np.asarray(
+        sparse.extract_features_sparse(
+            params, jnp.asarray(spikes), KEYS, matmul_dtype=None
+        )
+    )
+    m = meshlib.make_mesh(n_data=2, n_model=4)
+    tp = np.asarray(
+        extract_features_model_sharded_sparse(
+            params, jnp.asarray(spikes), KEYS, m, matmul_dtype=None
+        )
+    )
+    # Spike dynamics must agree BIT-EXACTLY (dyadic weights): counts and
+    # every time-derived feature are integers/exact sums. The two variance
+    # features go through an x2-mean - mean^2 epilogue whose FMA
+    # contraction differs between the two compiled programs -> 1e-6-level
+    # float noise is expected there.
+    no = params.n_outputs
+    exact = [0, 2, 3, 4, 5, 7]  # counts, times, mean_isi, bursts
+    for i in exact:
+        np.testing.assert_array_equal(
+            tp[:, i * no : (i + 1) * no], single[:, i * no : (i + 1) * no]
+        )
+    np.testing.assert_allclose(tp, single, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_sparse_lif_matches_xla_interpret(rng):
+    """The fused VMEM-resident sparse kernel == the XLA sparse scan,
+    bit-equal under dyadic weights (bf16 products of dyadic-256 weights
+    and 0/1 spikes are exact; f32 accumulation of exact terms is
+    order-independent)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from lsm_tpu.models import reservoir as res_mod
+    from lsm_tpu.ops.pallas.sparse_lif_kernel import simulate_batch_sparse_pallas
+
+    cfg = _cfg(n=384, k=76, sparse_partner_blocks=2, seed=9)
+    params = _quantize(sparse.init_reservoir_sparse(cfg, n_channels=32))
+    spikes = (rng.random((5, 32, 40)) < 0.15).astype(np.uint8)
+
+    ref = np.asarray(
+        sparse.extract_features_sparse(
+            params, jnp.asarray(spikes), KEYS, matmul_dtype=jnp.bfloat16
+        )
+    )
+    with pltpu.force_tpu_interpret_mode():
+        stats = simulate_batch_sparse_pallas(
+            params, jnp.asarray(spikes), b_tile=8
+        )
+    got = np.asarray(res_mod.features_from_stats(stats, KEYS))
+    # Raster-exact features bit-equal; the two variance features go
+    # through an FMA-sensitive epilogue (see the TP test above).
+    no = params.n_outputs
+    for i in [0, 2, 3, 4, 5, 7]:
+        np.testing.assert_array_equal(
+            got[:, i * no : (i + 1) * no], ref[:, i * no : (i + 1) * no]
+        )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    assert got[:, :no].sum() > 0
+
+
+def test_sparse_regime_comparable_to_dense_uniform_rewiring():
+    """Block-constrained rewiring must not change the dynamical regime:
+    participation within a few points of the dense generator at the same
+    config (the statistical acceptance contract, SURVEY.md 2.3)."""
+    from lsm_tpu.models.diagnostics import run_network_diagnostics
+
+    rng = np.random.default_rng(0)
+    spikes = (rng.random((5, 32, 60)) < 0.12).astype(np.uint8)
+    cfg = _cfg(n=512, k=102, mean_weight=0.015, seed=11)
+
+    params_s = sparse.init_reservoir_sparse(cfg, n_channels=32)
+    rep_s = run_network_diagnostics(sparse.densify(params_s), spikes)
+
+    params_d = res.init_reservoir(cfg, n_channels=32, device_init=True)
+    rep_d = run_network_diagnostics(params_d, spikes)
+
+    assert abs(rep_s.avg_participation - rep_d.avg_participation) < 15.0

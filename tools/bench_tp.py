@@ -32,7 +32,17 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--n-model", type=int, default=0,
                         help="model-axis size (0 = all devices)")
+    parser.add_argument("--sparse", action="store_true",
+                        help="block-sparse reservoir (models/sparse.py)")
+    parser.add_argument("--pallas", action="store_true",
+                        help="with --sparse: fused VMEM-resident sparse "
+                             "kernel via the extract_features_sparse "
+                             "dispatcher (single-device path)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 matmul operands (f32 accumulation)")
     args = parser.parse_args()
+    if args.pallas:
+        args.sparse = True
 
     import jax
     import jax.numpy as jnp
@@ -41,23 +51,36 @@ def main() -> None:
     from lsm_tpu.config import FEATURE_SETS, ReservoirConfig
     from lsm_tpu.models import reservoir as res
     from lsm_tpu.parallel import mesh as meshlib
-    from lsm_tpu.parallel.sharded import extract_features_model_sharded
+    from lsm_tpu.parallel.sharded import (
+        extract_features_model_sharded,
+        extract_features_model_sharded_sparse,
+    )
 
     n_dev = jax.device_count()
     n_model = args.n_model or n_dev
     n_data = n_dev // n_model
     mesh = meshlib.make_mesh(n_data=n_data, n_model=n_model)
-    log(f"devices={n_dev} mesh={n_data}x{n_model} "
-        f"neurons={args.num_neurons} B={args.batch} T={args.t}")
+    n = args.num_neurons
+    if args.sparse and n % 128:
+        n = -(-n // 128) * 128
+        log(f"--sparse: rounding neurons {args.num_neurons} -> {n} (x128)")
+    mm = jnp.bfloat16 if args.bf16 else None
+    log(f"devices={n_dev} mesh={n_data}x{n_model} neurons={n} "
+        f"B={args.batch} T={args.t} sparse={args.sparse} bf16={args.bf16}")
 
     cfg = ReservoirConfig(
-        num_neurons=args.num_neurons,
+        num_neurons=n,
         num_output_neurons=args.num_outputs,
-        small_world_k=int(0.10 * args.num_neurons * 2),
+        small_world_k=int(0.10 * n * 2),
         mean_weight=0.002,
     )
     t0 = time.perf_counter()
-    params = res.init_reservoir(cfg, n_channels=128)
+    if args.sparse:
+        from lsm_tpu.models.sparse import init_reservoir_sparse
+
+        params = init_reservoir_sparse(cfg, n_channels=128)
+    else:
+        params = res.init_reservoir(cfg, n_channels=128)
     log(f"init (device draws, jit incl. compile): {time.perf_counter() - t0:.1f}s")
 
     keys = tuple(FEATURE_SETS["original"])
@@ -71,7 +94,18 @@ def main() -> None:
     # overflows the remote compile service's request limit.
     @jax.jit
     def run_scalar(p, s):
-        feats = extract_features_model_sharded(p, s, keys, mesh)
+        if args.pallas:
+            from lsm_tpu.models.sparse import extract_features_sparse
+
+            feats = extract_features_sparse(p, s, keys)
+        elif args.sparse:
+            feats = extract_features_model_sharded_sparse(
+                p, s, keys, mesh, matmul_dtype=mm
+            )
+        else:
+            feats = extract_features_model_sharded(
+                p, s, keys, mesh, matmul_dtype=mm
+            )
         return jnp.sum(feats)
 
     t0 = time.perf_counter()
