@@ -148,7 +148,16 @@ class ReservoirConfig:
     # short-path property (an R-regular random block digraph is an
     # expander); the reservoir contract is statistical (SURVEY.md 2.3).
     sparse_partner_blocks: int = 4
+    # None = auto: block-sparse for device-init-scale reservoirs
+    # (>= 4096 neurons) whose size is a multiple of 128; the flagship
+    # 1000-neuron reservoir always stays dense (frozen accuracy band).
+    sparse: Optional[bool] = None
     seed: int = 42                     # np.random.seed(42), extract_lsm_features.py:30
+
+    def use_sparse(self) -> bool:
+        if self.sparse is not None:
+            return self.sparse
+        return self.num_neurons >= 4096 and self.num_neurons % 128 == 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,7 +62,12 @@ def run_network_diagnostics(
     import jax.numpy as jnp
 
     batch = jnp.asarray(spikes[:n_samples])
-    stats = simulate_batch(params, batch)
+    if isinstance(params, ReservoirParams):
+        stats = simulate_batch(params, batch)
+    else:                                             # block-sparse reservoir
+        from lsm_tpu.models.sparse import simulate_batch_sparse
+
+        stats = simulate_batch_sparse(params, batch)
     counts = np.asarray(stats["all_counts"])          # (n, N)
     total = params.n_neurons
 

@@ -474,18 +474,25 @@ def _pallas_lif_ok(params: "ReservoirParams", spikes_shape) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("feature_keys",))
 def extract_features(
-    params: "ReservoirParams",
+    params,
     spikes_in: jnp.ndarray,
     feature_keys: Tuple[str, ...],
 ) -> jnp.ndarray:
-    """Backend-dispatching feature extraction: the fused Pallas LIF kernel
-    on TPU when the reservoir fits VMEM, the XLA scan otherwise. Both
-    produce identical features (bf16 matmul operands, f32 state).
+    """Backend- and REPRESENTATION-dispatching feature extraction.
+
+    Dense ReservoirParams: the fused Pallas LIF kernel on TPU when the
+    reservoir fits VMEM, the XLA scan otherwise (identical features —
+    bf16 matmul operands, f32 state). Block-sparse SparseReservoirParams
+    (scaled configs): the sparse dispatcher (fused sparse kernel on TPU).
 
     Jitted as a whole: the dispatch is trace-time, and the stats->features
     epilogue must not run as ~30 separate op dispatches — per-op dispatch
     latency through the TPU relay dominated un-jitted streaming use
     (measured 1.5 s/batch vs ~20 ms)."""
+    if not isinstance(params, ReservoirParams):
+        from lsm_tpu.models.sparse import extract_features_sparse
+
+        return extract_features_sparse(params, spikes_in, feature_keys)
     if _pallas_lif_ok(params, spikes_in.shape):
         from lsm_tpu.ops.pallas.lif_kernel import simulate_batch_pallas
 

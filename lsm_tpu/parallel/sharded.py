@@ -85,18 +85,29 @@ def extract_features_dp(
     """
     from lsm_tpu.models.reservoir import extract_features
 
-    def local_fn(w_rec, w_in, leak, spikes_local):
-        p = dataclasses.replace(params, w_rec=w_rec, w_in=w_in, leak=leak)
+    if isinstance(params, ReservoirParams):
+        arrs = dict(w_rec=params.w_rec, w_in=params.w_in, leak=params.leak)
+    else:                                             # block-sparse reservoir
+        arrs = dict(
+            w_blocks=params.w_blocks,
+            src_idx=params.src_idx,
+            w_in=params.w_in,
+            leak=params.leak,
+        )
+    names = tuple(arrs)
+
+    def local_fn(spikes_local, *weights):
+        p = dataclasses.replace(params, **dict(zip(names, weights)))
         return extract_features(p, spikes_local, feature_keys)
 
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(DATA_AXIS, None, None)),
+        in_specs=(P(DATA_AXIS, None, None),) + (P(),) * len(names),
         out_specs=P(DATA_AXIS, None),
         check_vma=False,
     )
-    return fn(params.w_rec, params.w_in, params.leak, spikes)
+    return fn(spikes, *arrs.values())
 
 
 def _simulate_model_sharded_local(

@@ -315,7 +315,23 @@ def extract_lsm_features(
         )
 
     n_channels = ds.x_spikes.shape[1]
-    params = res.init_reservoir(cfg.reservoir, n_channels, mean_weight=mean_weight)
+    if cfg.reservoir.use_sparse():
+        # Scaled reservoirs (>=4096 neurons, N % 128 == 0): block-sparse
+        # weights + the fused sparse Pallas kernel — 2.9x the dense path at
+        # 10k neurons on v5e (docs/VALIDATION.md). extract_features and the
+        # DP shard_map path dispatch on the params type.
+        from lsm_tpu.models.sparse import init_reservoir_sparse
+
+        log.info(
+            "Using block-sparse reservoir (%d neurons)", cfg.reservoir.num_neurons
+        )
+        params = init_reservoir_sparse(
+            cfg.reservoir, n_channels, mean_weight=mean_weight
+        )
+    else:
+        params = res.init_reservoir(
+            cfg.reservoir, n_channels, mean_weight=mean_weight
+        )
 
     report = None
     if run_diagnostics:

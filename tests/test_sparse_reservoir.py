@@ -173,6 +173,54 @@ def test_pallas_sparse_lif_matches_xla_interpret(rng):
     assert got[:, :no].sum() > 0
 
 
+def test_pipeline_extract_dispatches_sparse(rng):
+    """Stage-2 pipeline wiring: cfg.reservoir.use_sparse() routes init +
+    extraction + diagnostics through the block-sparse path end-to-end."""
+    from lsm_tpu import pipeline
+    from lsm_tpu.config import PipelineConfig, ReservoirConfig
+    from lsm_tpu.io import artifacts
+
+    rcfg = ReservoirConfig(
+        num_neurons=512, num_output_neurons=128, small_world_k=102,
+        sparse=True, input_fanout=6,
+    )
+    cfg = PipelineConfig(reservoir=rcfg, feature_set="original", batch_size=8)
+    x = (rng.random((40, 32, 40)) < 0.15).astype(np.uint8)
+    y = (np.arange(40) % 4).astype(np.int32)
+    ds = artifacts.SpikeDataset(x_spikes=x, y_labels=y)
+
+    ext = pipeline.extract_lsm_features(cfg, ds, mesh=None)
+    art = ext.artifact
+    assert art.x_train.shape == (32, 5 * 128)
+    assert art.x_test.shape == (8, 5 * 128)
+    assert np.isfinite(art.x_train).all() and np.isfinite(art.x_test).all()
+    assert ext.diagnostics is not None       # diagnostics ran on sparse params
+    from lsm_tpu.models.sparse import SparseReservoirParams
+
+    assert isinstance(ext.params, SparseReservoirParams)
+
+
+def test_extract_features_dp_sparse_matches_single(rng):
+    """The production DP shard_map path accepts sparse params and equals
+    the single-device sparse dispatcher."""
+    from lsm_tpu.parallel import mesh as meshlib
+    from lsm_tpu.parallel.sharded import extract_features_dp
+    from lsm_tpu.models import reservoir as res_mod
+
+    cfg = _cfg(n=512, k=102, sparse_partner_blocks=2, seed=13)
+    params = sparse.init_reservoir_sparse(cfg, n_channels=32)
+    spikes = (rng.random((16, 32, 40)) < 0.15).astype(np.uint8)
+
+    single = np.asarray(
+        res_mod.extract_features(params, jnp.asarray(spikes), KEYS)
+    )
+    m = meshlib.make_mesh(n_data=8, n_model=1)
+    dp = np.asarray(
+        extract_features_dp(params, jnp.asarray(spikes), KEYS, m)
+    )
+    np.testing.assert_allclose(dp, single, rtol=1e-5, atol=1e-5)
+
+
 def test_sparse_regime_comparable_to_dense_uniform_rewiring():
     """Block-constrained rewiring must not change the dynamical regime:
     participation within a few points of the dense generator at the same
