@@ -59,8 +59,17 @@ def sweep_regime(
             base_cfg, input_fanout=fo, input_weight=wi, weight_variance=wv
         )
         _, mw = calibrate_weight(cfg, jnp.asarray(spikes), mult)
-        params = res.init_reservoir(cfg, n_channels, mean_weight=mw)
-        stats = simulate_batch(params, probe)
+        if cfg.use_sparse():
+            from lsm_tpu.models.sparse import (
+                init_reservoir_sparse,
+                simulate_batch_sparse,
+            )
+
+            params = init_reservoir_sparse(cfg, n_channels, mean_weight=mw)
+            stats = simulate_batch_sparse(params, probe)
+        else:
+            params = res.init_reservoir(cfg, n_channels, mean_weight=mw)
+            stats = simulate_batch(params, probe)
         counts = np.asarray(stats["all_counts"])
         part = float((counts > 0).mean(axis=1).mean() * 100.0)
         rate = float(counts.mean())

@@ -157,20 +157,21 @@ def test_pallas_sparse_lif_matches_xla_interpret(rng):
             params, jnp.asarray(spikes), KEYS, matmul_dtype=jnp.bfloat16
         )
     )
-    with pltpu.force_tpu_interpret_mode():
-        stats = simulate_batch_sparse_pallas(
-            params, jnp.asarray(spikes), b_tile=8
-        )
-    got = np.asarray(res_mod.features_from_stats(stats, KEYS))
-    # Raster-exact features bit-equal; the two variance features go
-    # through an FMA-sensitive epilogue (see the TP test above).
-    no = params.n_outputs
-    for i in [0, 2, 3, 4, 5, 7]:
-        np.testing.assert_array_equal(
-            got[:, i * no : (i + 1) * no], ref[:, i * no : (i + 1) * no]
-        )
-    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
-    assert got[:, :no].sum() > 0
+    for fuse_gather in (False, True):      # both kernel drive formulations
+        with pltpu.force_tpu_interpret_mode():
+            stats = simulate_batch_sparse_pallas(
+                params, jnp.asarray(spikes), b_tile=8, fuse_gather=fuse_gather
+            )
+        got = np.asarray(res_mod.features_from_stats(stats, KEYS))
+        # Raster-exact features bit-equal; the two variance features go
+        # through an FMA-sensitive epilogue (see the TP test above).
+        no = params.n_outputs
+        for i in [0, 2, 3, 4, 5, 7]:
+            np.testing.assert_array_equal(
+                got[:, i * no : (i + 1) * no], ref[:, i * no : (i + 1) * no]
+            )
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+        assert got[:, :no].sum() > 0
 
 
 def test_pipeline_extract_dispatches_sparse(rng):
