@@ -56,6 +56,13 @@ def add_extension_flags(p: argparse.ArgumentParser) -> None:
                    choices=["iir", "iir-xla", "fft"])
     p.add_argument("--num-neurons", type=int, default=1000)
     p.add_argument("--num-output-neurons", type=int, default=400)
+    p.add_argument("--sparse", dest="sparse", action="store_true",
+                   default=None,
+                   help="Force the block-sparse reservoir (default: "
+                        "automatic for >=4096 neurons with N %% 128 == 0; "
+                        "requires N %% 128 == 0).")
+    p.add_argument("--dense", dest="sparse", action="store_false",
+                   help="Force the dense reservoir representation.")
     p.add_argument("--redundancy-factor", type=int, default=1,
                    help="Duplicate each filter channel R times before the "
                         "reservoir (reference REDUNDANCY_FACTOR, "
@@ -85,6 +92,7 @@ def build_config(args: argparse.Namespace) -> PipelineConfig:
         num_output_neurons=getattr(args, "num_output_neurons", 400),
         small_world_k=int(0.10 * n_neurons * 2),
         leak_variance_divisor=getattr(args, "leak_variance_divisor", None),
+        sparse=getattr(args, "sparse", None),
     )
     return PipelineConfig(
         frontend=frontend,

@@ -47,31 +47,44 @@ def save_model(
     feature_set: str,
     class_names: Sequence[str],
 ) -> None:
+    from lsm_tpu.models.sparse import SparseReservoirParams
+
+    is_sparse = isinstance(reservoir, SparseReservoirParams)
+    static = {
+        "n_neurons": reservoir.n_neurons,
+        "n_outputs": reservoir.n_outputs,
+        "n_channels": reservoir.n_channels,
+        "threshold": reservoir.threshold,
+        "refractory": reservoir.refractory,
+        "burst_isi_max": reservoir.burst_isi_max,
+        "n_rate_windows": reservoir.n_rate_windows,
+        "kind": "sparse" if is_sparse else "dense",
+    }
+    if is_sparse:
+        static["n_band"] = reservoir.n_band
+        weights = dict(
+            w_blocks=np.asarray(reservoir.w_blocks),
+            src_idx=np.asarray(reservoir.src_idx),
+        )
+    else:
+        weights = dict(w_rec=np.asarray(reservoir.w_rec))
     meta = {
         "format": _FORMAT,
         "feature_set": feature_set,
         "class_names": list(class_names),
         "frontend": dataclasses.asdict(frontend),
-        "reservoir_static": {
-            "n_neurons": reservoir.n_neurons,
-            "n_outputs": reservoir.n_outputs,
-            "n_channels": reservoir.n_channels,
-            "threshold": reservoir.threshold,
-            "refractory": reservoir.refractory,
-            "burst_isi_max": reservoir.burst_isi_max,
-            "n_rate_windows": reservoir.n_rate_windows,
-        },
+        "reservoir_static": static,
     }
     np.savez_compressed(
         path,
         meta=json.dumps(meta),
-        w_rec=np.asarray(reservoir.w_rec),
         w_in=np.asarray(reservoir.w_in),
         leak=np.asarray(reservoir.leak),
         readout_w=np.asarray(readout.w),
         readout_b=np.asarray(readout.b),
         scaler_mean=np.asarray(scaler.mean),
         scaler_scale=np.asarray(scaler.scale),
+        **weights,
     )
 
 
@@ -88,8 +101,7 @@ def load_model(path: Path) -> ModelBundle:
     # Tuples were serialized as lists; restore for the frozen dataclass.
     if isinstance(fdict.get("spike_thresholds"), list):
         fdict["spike_thresholds"] = tuple(fdict["spike_thresholds"])
-    reservoir = ReservoirParams(
-        w_rec=jnp.asarray(data["w_rec"]),
+    common = dict(
         w_in=jnp.asarray(data["w_in"]),
         leak=jnp.asarray(data["leak"]),
         n_neurons=int(rs["n_neurons"]),
@@ -100,6 +112,17 @@ def load_model(path: Path) -> ModelBundle:
         burst_isi_max=int(rs["burst_isi_max"]),
         n_rate_windows=int(rs["n_rate_windows"]),
     )
+    if rs.get("kind", "dense") == "sparse":
+        from lsm_tpu.models.sparse import SparseReservoirParams
+
+        reservoir = SparseReservoirParams(
+            w_blocks=jnp.asarray(data["w_blocks"]),
+            src_idx=jnp.asarray(data["src_idx"]),
+            n_band=int(rs["n_band"]),
+            **common,
+        )
+    else:
+        reservoir = ReservoirParams(w_rec=jnp.asarray(data["w_rec"]), **common)
     return ModelBundle(
         reservoir=reservoir,
         readout=LogisticParams(

@@ -164,6 +164,46 @@ def init_reservoir(
     )
 
 
+def device_input_projection(
+    key: jax.Array,
+    n_channels: int,
+    n: int,
+    c_pad: int,
+    width: int,
+    fanout: int,
+    weight: float,
+) -> jnp.ndarray:
+    """Device-side input projection: `fanout` distinct target neurons per
+    channel at `weight`, drawn as the top of a per-channel random
+    permutation (exactly rng.choice(n, fanout, replace=False) semantics).
+    Shared by the dense and block-sparse device inits so the calibrated
+    input statistics cannot fork between representations."""
+    scores = jax.random.uniform(key, (n_channels, n))
+    _, proj = jax.lax.top_k(scores, fanout)                  # (C, fanout)
+    w_in = jnp.zeros((c_pad, width), jnp.float32)
+    ch = jnp.broadcast_to(
+        jnp.arange(n_channels, dtype=jnp.int32)[:, None], proj.shape
+    )
+    return w_in.at[ch.reshape(-1), proj.reshape(-1)].add(weight)
+
+
+def device_leak_draw(
+    key: jax.Array, cfg: ReservoirConfig, n: int, width: int
+) -> jnp.ndarray:
+    """Device-side per-neuron leak (optionally heterogeneous,
+    extract_lsm_features.py:174,183 semantics), padded to `width`."""
+    if cfg.leak_variance_divisor:
+        leak_n = jnp.clip(
+            cfg.leak_coefficient
+            + jax.random.normal(key, (n,))
+            * (cfg.leak_coefficient / cfg.leak_variance_divisor),
+            0.0, 1.0,
+        ).astype(jnp.float32)
+    else:
+        leak_n = jnp.full((n,), cfg.leak_coefficient, jnp.float32)
+    return jnp.zeros((width,), jnp.float32).at[:n].set(leak_n)
+
+
 def _init_reservoir_device(
     cfg: ReservoirConfig, n_channels: int, mean_weight: Optional[float]
 ) -> ReservoirParams:
@@ -202,27 +242,10 @@ def _init_reservoir_device(
         w = jax.random.normal(k_w, (n_pad, n_pad), jnp.float32) * std + mw
         w_rec = jnp.where(mask, w, 0.0)
 
-        # Input projection: `fanout` distinct targets per channel, drawn as
-        # the top of a per-channel random permutation (exactly
-        # rng.choice(n, fanout, replace=False) semantics).
-        scores = jax.random.uniform(k_in, (n_channels, n))
-        _, proj = jax.lax.top_k(scores, fanout)                  # (C, fanout)
-        w_in = jnp.zeros((c_pad, n_pad), jnp.float32)
-        ch = jnp.broadcast_to(
-            jnp.arange(n_channels, dtype=jnp.int32)[:, None], proj.shape
+        w_in = device_input_projection(
+            k_in, n_channels, n, c_pad, n_pad, fanout, cfg.input_weight
         )
-        w_in = w_in.at[ch.reshape(-1), proj.reshape(-1)].add(cfg.input_weight)
-
-        if cfg.leak_variance_divisor:
-            leak_n = jnp.clip(
-                cfg.leak_coefficient
-                + jax.random.normal(k_leak, (n,))
-                * (cfg.leak_coefficient / cfg.leak_variance_divisor),
-                0.0, 1.0,
-            )
-        else:
-            leak_n = jnp.full((n,), cfg.leak_coefficient, jnp.float32)
-        leak = jnp.zeros((n_pad,), jnp.float32).at[:n].set(leak_n)
+        leak = device_leak_draw(k_leak, cfg, n, n_pad)
         return w_rec, w_in, leak
 
     w_rec, w_in, leak = build(cfg.seed)

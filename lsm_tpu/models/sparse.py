@@ -160,25 +160,13 @@ def init_reservoir_sparse(
         band_src = (j[:, None] - jnp.arange(n_band, dtype=jnp.int32)[None, :]) % nb
         src_idx = jnp.concatenate([band_src, inv_perms.T], axis=1)  # (nb, S)
 
-        # Input projection + leak: same scheme as the dense device init
-        # (reservoir._init_reservoir_device), fresh keys.
-        scores = jax.random.uniform(k_in, (n_channels, n))
-        _, proj = jax.lax.top_k(scores, fanout)
-        w_in = jnp.zeros((c_pad, n), jnp.float32)
-        ch = jnp.broadcast_to(
-            jnp.arange(n_channels, dtype=jnp.int32)[:, None], proj.shape
+        # Input projection + leak: the SAME shared helpers as the dense
+        # device init (fresh keys) — the calibrated input statistics must
+        # not fork between representations.
+        w_in = res.device_input_projection(
+            k_in, n_channels, n, c_pad, n, fanout, cfg.input_weight
         )
-        w_in = w_in.at[ch.reshape(-1), proj.reshape(-1)].add(cfg.input_weight)
-
-        if cfg.leak_variance_divisor:
-            leak = jnp.clip(
-                cfg.leak_coefficient
-                + jax.random.normal(k_leak, (n,))
-                * (cfg.leak_coefficient / cfg.leak_variance_divisor),
-                0.0, 1.0,
-            ).astype(jnp.float32)
-        else:
-            leak = jnp.full((n,), cfg.leak_coefficient, jnp.float32)
+        leak = res.device_leak_draw(k_leak, cfg, n, n)
         return w_blocks, src_idx, w_in, leak
 
     w_blocks, src_idx, w_in, leak = build(cfg.seed)

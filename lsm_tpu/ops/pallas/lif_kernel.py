@@ -123,9 +123,14 @@ def _lif_kernel(
 
         c_cur_s[:] = c_cur_s[:] + so
 
-        # Window boundary: fold current-window counts into the moments.
+        # Window boundaries: the first n_win-1 windows are win_len steps;
+        # ALL remaining steps fold into the last window (matching the XLA
+        # path's min(t // win_len, n_win - 1) clamp for T % n_win != 0).
         boundary = jnp.logical_or(
-            (t + 1) % win_len == 0, t == t_total - 1
+            jnp.logical_and(
+                (t + 1) % win_len == 0, (t + 1) // win_len < n_win
+            ),
+            t == t_total - 1,
         )
 
         @pl.when(boundary)
@@ -154,8 +159,6 @@ def simulate_batch_pallas(
     no_pad = _round_up(params.n_outputs)
     n_win = params.n_rate_windows
     win_len = max(1, T // n_win)
-    # Number of boundary flushes performed by the kernel.
-    n_win_used = (T + win_len - 1) // win_len if T % win_len else T // win_len
 
     x = spikes_in.astype(jnp.uint8)
     if C != c_pad:
@@ -236,6 +239,8 @@ def simulate_batch_pallas(
         bursts=bursts[:B, :no],
         win_sum=win_sum[:B, :no],
         win_sum2=win_sum2[:B, :no],
-        n_win_used=float(n_win_used),
+        # Matches the XLA path's mean over exactly n_win windows
+        # (unflushed/empty windows contribute zero to the sums).
+        n_win_used=float(n_win),
         all_counts=all_counts[:B, : params.n_neurons],
     )

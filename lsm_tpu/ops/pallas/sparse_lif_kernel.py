@@ -61,7 +61,7 @@ def _sparse_lif_kernel(
     n_isi_ref, sum_isi_ref, sum_isi2_ref, bursts_ref,
     win_sum_ref, win_sum2_ref, all_counts_ref,
     v_s, refrac_s, s_bufs, g_s, x_s, so_s, prev_t_s, c_cur_s,
-    *, threshold, refractory, burst_isi_max, no_pad, win_len, t_total,
+    *, threshold, refractory, burst_isi_max, win_len, n_win, t_total,
     n_out_blocks, S, fuse_gather,
 ):
     b_t = xs_ref.shape[1]
@@ -85,8 +85,8 @@ def _sparse_lif_kernel(
     win_sum2_ref[:] = jnp.zeros_like(win_sum2_ref)
     all_counts_ref[:] = jnp.zeros_like(all_counts_ref)
 
-    def block_update(j, t, rd, wr, static_out_slot):
-        """Drive + LIF update for destination block j at step t.
+    def block_update(j, rd, wr, static_out_slot):
+        """Drive + LIF update for destination block j this step.
 
         static_out_slot: python int for output blocks (their spikes are
         additionally written to the (B_t, no_pad) stats plane at a STATIC
@@ -138,10 +138,10 @@ def _sparse_lif_kernel(
         # Output-neuron blocks first (static unroll: their spike planes
         # also land in the (B_t, no_pad) stats layout at static offsets).
         for j_static in range(n_out_blocks):
-            block_update(j_static, t, rd, wr, j_static)
+            block_update(j_static, rd, wr, j_static)
 
         def rest(j, c):
-            block_update(j, t, rd, wr, None)
+            block_update(j, rd, wr, None)
             return c
 
         jax.lax.fori_loop(n_out_blocks, nb, rest, 0)
@@ -169,7 +169,15 @@ def _sparse_lif_kernel(
         prev_t_s[:] = jnp.where(so > 0, tf, prev_t)
 
         c_cur_s[:] = c_cur_s[:] + so
-        boundary = jnp.logical_or((t + 1) % win_len == 0, t == t_total - 1)
+        # Window boundaries: the first n_win-1 windows are win_len steps;
+        # ALL remaining steps fold into the last window (matching the XLA
+        # path's min(t // win_len, n_win - 1) clamp for T % n_win != 0).
+        boundary = jnp.logical_or(
+            jnp.logical_and(
+                (t + 1) % win_len == 0, (t + 1) // win_len < n_win
+            ),
+            t == t_total - 1,
+        )
 
         @pl.when(boundary)
         def _():
@@ -228,7 +236,6 @@ def simulate_batch_sparse_pallas(
     n_out_blocks = no_pad // BLOCK
     n_win = params.n_rate_windows
     win_len = max(1, T // n_win)
-    n_win_used = (T + win_len - 1) // win_len if T % win_len else T // win_len
     if b_tile is None:
         b_tile = pick_b_tile(params, T, c_pad)
         if b_tile is None:
@@ -268,8 +275,8 @@ def simulate_batch_sparse_pallas(
         threshold=float(params.threshold),
         refractory=int(params.refractory),
         burst_isi_max=int(params.burst_isi_max),
-        no_pad=no_pad,
         win_len=win_len,
+        n_win=n_win,
         t_total=T,
         n_out_blocks=n_out_blocks,
         S=S,
@@ -323,6 +330,8 @@ def simulate_batch_sparse_pallas(
         bursts=bursts[:B, :no],
         win_sum=win_sum[:B, :no],
         win_sum2=win_sum2[:B, :no],
-        n_win_used=float(n_win_used),
+        # The division matches the XLA path's mean over exactly n_win
+        # windows (unflushed/empty windows contribute zero to the sums).
+        n_win_used=float(n_win),
         all_counts=all_counts[:B, :n],
     )

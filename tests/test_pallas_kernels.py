@@ -51,3 +51,26 @@ def test_pallas_lif_matches_xla_interpret(rng):
     with pltpu.force_tpu_interpret_mode():
         out = res.features_from_stats(simulate_batch_pallas(params, spikes), keys)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_lif_window_clamp_non_divisible_t(rng):
+    """T not a multiple of n_rate_windows: the XLA path clamps overflow
+    steps into the LAST window (min(t // win_len, n_win - 1)); the kernel
+    must produce the same spike_variances, not open an 11th window."""
+    from lsm_tpu.config import FEATURE_SETS, ReservoirConfig
+    from lsm_tpu.models import reservoir as res
+    from lsm_tpu.ops.pallas.lif_kernel import simulate_batch_pallas
+
+    cfg = ReservoirConfig(
+        num_neurons=256, num_output_neurons=128, small_world_k=32,
+        mean_weight=0.02, input_fanout=6,
+    )
+    params = res.init_reservoir(cfg, n_channels=32)
+    spikes = jnp.asarray((rng.random((4, 32, 45)) < 0.2).astype(np.uint8))
+    keys = tuple(FEATURE_SETS["all"])
+    ref = res.features_from_stats(
+        res.simulate_batch(params, spikes, matmul_dtype=jnp.bfloat16), keys
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = res.features_from_stats(simulate_batch_pallas(params, spikes), keys)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)

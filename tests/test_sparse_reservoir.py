@@ -67,8 +67,8 @@ def test_structure_out_degree_and_blocks():
 
     dense = sparse.densify(params)
     w = np.asarray(dense.w_rec)
-    # No self-loops.
-    assert np.diagonal(w).max() == 0.0
+    # No self-loops (abs: a negative-weight self-loop must also fail).
+    assert np.abs(np.diagonal(w)).max() == 0.0
     # Out-degree: exactly k/2 out-edges per neuron up to rare collisions.
     out_deg = (w != 0).sum(axis=1)
     assert (out_deg <= half).all()
@@ -172,6 +172,73 @@ def test_pallas_sparse_lif_matches_xla_interpret(rng):
             )
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
         assert got[:, :no].sum() > 0
+
+
+def test_pallas_sparse_window_clamp_non_divisible_t(rng):
+    """T % n_rate_windows != 0: kernel folds overflow steps into the last
+    window exactly like the XLA path's clamp (spike_variances equal)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from lsm_tpu.models import reservoir as res_mod
+    from lsm_tpu.ops.pallas.sparse_lif_kernel import simulate_batch_sparse_pallas
+
+    cfg = _cfg(n=384, k=76, sparse_partner_blocks=2, seed=9)
+    params = sparse.init_reservoir_sparse(cfg, n_channels=32)
+    spikes = (rng.random((4, 32, 45)) < 0.2).astype(np.uint8)
+
+    ref = np.asarray(
+        sparse.extract_features_sparse(
+            params, jnp.asarray(spikes), KEYS, matmul_dtype=jnp.bfloat16
+        )
+    )
+    with pltpu.force_tpu_interpret_mode():
+        stats = simulate_batch_sparse_pallas(params, jnp.asarray(spikes), b_tile=8)
+    got = np.asarray(res_mod.features_from_stats(stats, KEYS))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sparse_model_bundle_roundtrip(tmp_path, rng):
+    """save_model/load_model must carry the block-sparse representation
+    (a scaled-reservoir training run saves AFTER hours of work)."""
+    from lsm_tpu.config import FrontendConfig
+    from lsm_tpu.io import model as model_io
+    from lsm_tpu.readout.logistic import LogisticParams
+    from lsm_tpu.readout.scaler import ScalerState
+
+    cfg = _cfg(n=512, k=102, sparse_partner_blocks=2, seed=5)
+    params = sparse.init_reservoir_sparse(cfg, n_channels=32)
+    d = 5 * params.n_outputs
+    path = tmp_path / "m.npz"
+    model_io.save_model(
+        path,
+        params,
+        LogisticParams(w=jnp.zeros((d, 4)), b=jnp.zeros((4,))),
+        ScalerState(mean=jnp.zeros((d,)), scale=jnp.ones((d,))),
+        FrontendConfig(n_filters=32),
+        "original",
+        ("a", "b", "c", "d"),
+    )
+    bundle = model_io.load_model(path)
+    assert isinstance(bundle.reservoir, sparse.SparseReservoirParams)
+    assert bundle.reservoir.n_band == params.n_band
+    np.testing.assert_array_equal(
+        np.asarray(bundle.reservoir.w_blocks), np.asarray(params.w_blocks)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bundle.reservoir.src_idx), np.asarray(params.src_idx)
+    )
+
+    # And the loaded params drive the extractor identically.
+    spikes = (rng.random((3, 32, 40)) < 0.15).astype(np.uint8)
+    a = np.asarray(
+        sparse.extract_features_sparse(params, jnp.asarray(spikes), KEYS)
+    )
+    b = np.asarray(
+        sparse.extract_features_sparse(
+            bundle.reservoir, jnp.asarray(spikes), KEYS
+        )
+    )
+    np.testing.assert_array_equal(a, b)
 
 
 def test_pipeline_extract_dispatches_sparse(rng):

@@ -65,8 +65,13 @@ def main() -> None:
         n = -(-n // 128) * 128
         log(f"--sparse: rounding neurons {args.num_neurons} -> {n} (x128)")
     mm = jnp.bfloat16 if args.bf16 else None
+    # --pallas goes through the single-device dispatcher (bf16 operands by
+    # design); the TP shard_map paths use all n_dev devices.
+    chips = 1 if args.pallas else n_dev
+    dtype_note = "bf16 (kernel)" if args.pallas else ("bf16" if args.bf16 else "f32")
     log(f"devices={n_dev} mesh={n_data}x{n_model} neurons={n} "
-        f"B={args.batch} T={args.t} sparse={args.sparse} bf16={args.bf16}")
+        f"B={args.batch} T={args.t} sparse={args.sparse} "
+        f"pallas={args.pallas} matmul={dtype_note}")
 
     cfg = ReservoirConfig(
         num_neurons=n,
@@ -120,7 +125,8 @@ def main() -> None:
     best = min(times)
     rate = args.batch / best
     log(f"TP reservoir: {args.batch} utt in {best:.3f}s = {rate:.1f} utt/s "
-        f"({rate / n_dev:.1f}/chip), times={['%.3f' % t for t in times]}")
+        f"({rate / chips:.1f}/chip on {chips} chip(s)), "
+        f"times={['%.3f' % t for t in times]}")
     print(f"{rate:.1f}")
 
 
