@@ -117,8 +117,7 @@ def gtgram_energy_pallas(
             transcendentals=0,
         ),
     )(blocks, sq, jnp.asarray(w_yx_t))
-    # (n_sub, C, B) -> (B, C, n_sub)
-    return out.transpose(2, 1, 0)
+    return out                            # (n_sub, C, B) — kernel layout
 
 
 def gtgram_pallas(
@@ -155,14 +154,26 @@ def gtgram_pallas(
 
     sq = gtgram_state_energy(blocks_bm, fs, channels, f_min, g)
     sub_energy = gtgram_energy_pallas(blocks_gm, sq, fs, channels, f_min, g)
-    sub_energy = sub_energy[:B]
 
+    # Windowed-energy epilogue as ONE 0/1-matrix contraction on the
+    # kernel's native (n_sub, C, B) layout. The index-gather formulation
+    # (sub_energy[..., starts + taps].sum(-1)) re-reads each sub-block
+    # energy w_per (=5) times from HBM (~1.2 GB at B=2400) and needs a
+    # 245 MB minor-dim transpose first; this reads it once and the MXU
+    # does the (exactly-representable) 0/1 accumulation. Measured ~3 ms
+    # faster end-to-end. Windows touching k >= n_sub have zero rows in A.
     w_per = nwin // g
     h_per = hop // g
-    starts = np.arange(n_cols) * h_per
-    idx = starts[:, None] + np.arange(w_per)[None, :]
-    win_energy = sub_energy[..., idx].sum(-1)
-    return jnp.sqrt(win_energy / nwin)
+    a_win = np.zeros((n_sub_pad, n_cols), np.float32)
+    for n in range(n_cols):
+        a_win[n * h_per : n * h_per + w_per, n] = 1.0
+    win_energy = jax.lax.dot_general(
+        sub_energy, jnp.asarray(a_win),
+        (((0,), (0,)), ((), ())),          # contract k -> (C, B, n_cols)
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = jnp.sqrt(jnp.maximum(win_energy, 0.0) / nwin)
+    return out.transpose(1, 0, 2)[:B]      # (B, C, n_cols)
 
 
 def pallas_supported(fs: float, window_time: float, hop_time: float,
