@@ -49,6 +49,10 @@ def main() -> None:
                         help="Skip the disk->device cold-path measurement.")
     args = parser.parse_args()
 
+    from lsm_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()   # setup compiles are untimed; warm runs timed
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -21,6 +21,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compile cache: the mesh-path test modules recompile the same
+# shard_map programs every run (~10 min suite on one core); cached runs
+# skip that. Keyed by full config+program hash, so correctness-neutral.
+from lsm_tpu.cli.common import enable_compile_cache
+
+enable_compile_cache()
+
 import numpy as np
 import pytest
 

@@ -44,6 +44,10 @@ def main() -> None:
     if args.pallas:
         args.sparse = True
 
+    from lsm_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -18,6 +18,10 @@ from lsm_tpu.models.sweep import sweep_regime
 
 
 def main():
+    from lsm_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax.numpy as jnp
 
     audio, _ = synthetic_audio_batch(n_per_class=8, n_classes=12, seed=42)

@@ -36,6 +36,10 @@ def main() -> None:
                         help="Emit a markdown table on stdout")
     args = parser.parse_args()
 
+    from lsm_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
+
     from lsm_tpu.config import PipelineConfig, ReservoirConfig
     from lsm_tpu.io import dataset
     from lsm_tpu import pipeline
