@@ -49,8 +49,9 @@ def main() -> None:
                         help="Skip the disk->device cold-path measurement.")
     args = parser.parse_args()
 
-    from lsm_tpu.cli.common import enable_compile_cache
+    from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
 
+    honor_jax_platforms_env()
     enable_compile_cache()   # setup compiles are untimed; warm runs timed
 
     import jax

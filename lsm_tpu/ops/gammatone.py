@@ -335,10 +335,15 @@ def gtgram_state_energy(
     Carries only the 8-dim cascade state per (batch, channel) — batch-major
     with channels on the lane axis, so every broadcast is layout-native —
     and emits sq[k] = 2*sum_m(u v) + sum_m(v^2) per sub-block: everything
-    the energy needs beyond the pure input response. The state path runs
-    exact f32 with precision=HIGHEST matmuls (the IIR numerical contract;
-    see CLAUDE.md). Returns (n_sub, C, B) f32 (batch on lanes, the phase-2
-    kernel layout).
+    the energy needs beyond the pure input response. The state-PROPAGATION
+    MACs (the s->t terms below) run exact f32 (the IIR numerical contract;
+    see CLAUDE.md); the drive matmul runs 3-pass bf16 (HIGH, ~1e-7 rel) —
+    input injection, not recurrence, so its rounding does not accumulate.
+    NOTE this makes the phase-1 state differ from gtgram_iir's (which
+    keeps HIGHEST throughout) at the ~1e-7 level on TPU: bit-equality
+    oracles against gtgram_iir belong on CPU, tolerance oracles on TPU
+    (test_pallas_kernels.py uses rtol 5e-3; measured p99 8.2e-4).
+    Returns (n_sub, C, B) f32 (batch on lanes, the phase-2 kernel layout).
     """
     n_sub, B, g_ = blocks_bm.shape
     assert g_ == g

@@ -28,8 +28,11 @@ phase 1 where the batch-major layout makes them native VPU work.
 
 Numerics: the split is exact in real arithmetic; in f32 the separately
 rounded sq can make a near-zero energy slightly negative (u ~ -v at
-silence), so the wrapper clamps at 0 before sqrt. Validated bit-close
-(p99 rel err ~2e-7) against the XLA path and the f64 oracle in tests.
+silence), so the kernel clamps at 0 before the sqrt epilogue. Parity vs
+the XLA path on TPU hardware: median rel err 8.1e-5, p99 8.2e-4 (the
+phase-1 drive matmul runs 3-pass bf16 HIGH — see gtgram_state_energy —
+and the phase-2 input response runs at the Mosaic f32 default);
+test_pallas_kernels.py polices rtol 5e-3 in interpret mode.
 
 Data layout: batch on the LANE axis (B_t = 128); sub-blocks lead so chunk
 indexing is on untiled dimension 0.
@@ -83,7 +86,9 @@ def gtgram_energy_pallas(
     f_min: float,
     g: int,
 ) -> jnp.ndarray:
-    """Per-sub-block energies (B, C, n_sub) f32. Requires B % 128 == 0 and
+    """Per-sub-block energies in the kernel-native (n_sub, C, B) f32
+    layout (batch on lanes — callers epilogue in this layout and transpose
+    only the final windowed result). Requires B % 128 == 0 and
     n_sub % CHUNK == 0 (see pallas_supported / gtgram_pallas padding)."""
     n_sub, g_, B = blocks.shape
     if g_ != g or n_sub % _CHUNK or B % _B_TILE:
@@ -161,9 +166,14 @@ def gtgram_pallas(
     # energy w_per (=5) times from HBM (~1.2 GB at B=2400) and needs a
     # 245 MB minor-dim transpose first; this reads it once and the MXU
     # does the (exactly-representable) 0/1 accumulation. Measured ~3 ms
-    # faster end-to-end. Windows touching k >= n_sub have zero rows in A.
+    # faster end-to-end.
     w_per = nwin // g
     h_per = hop // g
+    # gtgram_strides keeps every window inside the signal, so no A row in
+    # the zero-padded tail [n_sub, n_sub_pad) is ever 1 — load-bearing:
+    # those sub-blocks carry NONZERO ring-down state energy (sq > 0 after
+    # the signal ends) that must not leak into the final frames.
+    assert (n_cols - 1) * h_per + w_per <= n_sub, (n_cols, h_per, w_per, n_sub)
     a_win = np.zeros((n_sub_pad, n_cols), np.float32)
     for n in range(n_cols):
         a_win[n * h_per : n * h_per + w_per, n] = 1.0

@@ -44,8 +44,9 @@ def main() -> None:
     if args.pallas:
         args.sparse = True
 
-    from lsm_tpu.cli.common import enable_compile_cache
+    from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
 
+    honor_jax_platforms_env()
     enable_compile_cache()
 
     import jax

@@ -18,8 +18,9 @@ from lsm_tpu.models.sweep import sweep_regime
 
 
 def main():
-    from lsm_tpu.cli.common import enable_compile_cache
+    from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
 
+    honor_jax_platforms_env()
     enable_compile_cache()
 
     import jax.numpy as jnp

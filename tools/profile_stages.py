@@ -19,8 +19,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
-    from lsm_tpu.cli.common import enable_compile_cache
+    from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
 
+    honor_jax_platforms_env()
     enable_compile_cache()
 
     import jax

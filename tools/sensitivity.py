@@ -36,8 +36,9 @@ def main() -> None:
                         help="Emit a markdown table on stdout")
     args = parser.parse_args()
 
-    from lsm_tpu.cli.common import enable_compile_cache
+    from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
 
+    honor_jax_platforms_env()
     enable_compile_cache()
 
     from lsm_tpu.config import PipelineConfig, ReservoirConfig
