@@ -98,3 +98,51 @@ def test_validate_features_host():
     nan = np.full((2, 2), np.nan)
     ok, msg = validate_features_host(nan)
     assert not ok and "non-finite" in msg
+
+
+def test_enable_compile_cache_configures_jax(tmp_path, monkeypatch):
+    """enable_compile_cache points jax at the cache dir (and creates it);
+    LSM_TPU_NO_CACHE=1 makes it a no-op."""
+    import jax
+
+    from lsm_tpu.cli.common import enable_compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        cache = tmp_path / "cc"
+        monkeypatch.setenv("LSM_TPU_CACHE_DIR", str(cache))
+        monkeypatch.delenv("LSM_TPU_NO_CACHE", raising=False)
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+        assert cache.is_dir()
+
+        other = tmp_path / "other"
+        monkeypatch.setenv("LSM_TPU_CACHE_DIR", str(other))
+        monkeypatch.setenv("LSM_TPU_NO_CACHE", "1")
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(cache)  # unchanged
+        assert not other.exists()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_cli_subprocess_honors_jax_platforms(tmp_path):
+    """A CLI-style subprocess with JAX_PLATFORMS=cpu must land on the CPU
+    backend even though this image's sitecustomize imports jax first and
+    freezes the env var (cli.common.honor_jax_platforms_env re-applies it;
+    without that the process silently runs on the TPU relay)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from lsm_tpu.cli.common import setup_logging; setup_logging(); "
+         "import jax; print('backend=' + jax.default_backend())"],
+        capture_output=True, text=True, timeout=120, env=env, cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "backend=cpu" in r.stdout
