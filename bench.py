@@ -36,6 +36,12 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--n-test", type=int, default=2400)
@@ -141,6 +147,20 @@ def main() -> None:
     n_correct = int(e2e_correct(audio, labels))  # compile + warmup
     e2e_acc = n_correct / n
 
+    # Relay dispatch floor: a trivial jitted scalar dispatch costs the
+    # same per-dispatch round-trip (~15-35 ms, drifts with tunnel load)
+    # as the real program. Reported so the headline can be read as
+    # floor + device time; on a local TPU host the floor is ~0.
+    @jax.jit
+    def _nop(x):
+        return jnp.sum(x)
+
+    nop_arg = jnp.zeros((8,), jnp.float32)
+    float(_nop(nop_arg))                          # compile + warmup
+    floor = min(
+        _timed(lambda: float(_nop(nop_arg))) for _ in range(args.repeats)
+    )
+
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
@@ -150,9 +170,11 @@ def main() -> None:
     best = min(times)
     rate = n / best
     rate_per_chip = rate / n_chips
+    device_rate = n / max(best - floor, 1e-9)
     log(f"e2e hot: {n} utterances in {best:.3f}s = {rate:.1f} utt/s "
         f"({rate_per_chip:.1f}/chip), closed-loop acc={e2e_acc:.3f}, "
-        f"times={['%.3f' % t for t in times]}")
+        f"times={['%.3f' % t for t in times]}; dispatch floor "
+        f"{floor * 1e3:.1f} ms -> device-only {device_rate:.0f} utt/s")
 
     # --- cold path: disk -> native decode -> H2D -> predictions ------------
     cold_rate = None
@@ -194,6 +216,8 @@ def main() -> None:
         "accuracy_closed_loop": round(e2e_acc, 4),
         "n_devices": n_chips,
         "hot_utt_per_sec_total": round(rate, 2),
+        "dispatch_floor_ms": round(floor * 1e3, 1),
+        "device_only_utt_per_sec": round(device_rate, 2),
     }
     if cold_rate is not None:
         extra["cold_utt_per_sec_per_chip"] = round(cold_rate / n_chips, 2)
