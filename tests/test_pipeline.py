@@ -89,3 +89,20 @@ def test_featurize_shapes_and_dtype():
     assert spikes.shape == (6, 32, 400)
     assert spikes.dtype == np.uint8
     assert set(np.unique(spikes)) <= {0, 1}
+
+
+def test_spikes_to_host_bitpack_roundtrip():
+    """The bit-packed D2H path is exact for 0/1 uint8 spikes, including a
+    trailing partial batch; T % 8 != 0 falls back to the direct copy."""
+    import jax.numpy as jnp
+
+    from lsm_tpu.pipeline import _spikes_to_host
+
+    rng = np.random.default_rng(3)
+    spikes = (rng.random((5, 8, 400)) < 0.3).astype(np.uint8)
+    dev = jnp.asarray(spikes)
+    np.testing.assert_array_equal(_spikes_to_host(dev, 5), spikes)
+    np.testing.assert_array_equal(_spikes_to_host(dev, 3), spikes[:3])
+
+    odd = (rng.random((4, 8, 45)) < 0.3).astype(np.uint8)  # 45 % 8 != 0
+    np.testing.assert_array_equal(_spikes_to_host(jnp.asarray(odd), 4), odd)
