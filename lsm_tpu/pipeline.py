@@ -189,26 +189,44 @@ def create_spike_dataset(
     spikes_out, labels_out = [], []
     n_total = 0
     t0 = time.perf_counter()
-    for start, stop in _batched(len(idx.files) - first_file, bs):
-        start += first_file
-        stop += first_file
-        audio, kept, errors = load_audio_batch(
+
+    # One-ahead decode prefetch: the native WAV decoder (a ctypes call)
+    # and zlib both release the GIL, so chunk k+1 decodes on a worker
+    # thread while the main thread waits on the device for chunk k.
+    # Results are consumed strictly in order — artifacts are byte-
+    # identical to the serial loop.
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunks = [
+        (start + first_file, stop + first_file)
+        for start, stop in _batched(len(idx.files) - first_file, bs)
+    ]
+
+    def _decode(start: int, stop: int):
+        return load_audio_batch(
             idx.files[start:stop], fcfg.sample_rate, fcfg.duration
         )
-        for path, err in errors:
-            log.warning("Error loading %s: %s", path, err)
-        if audio.shape[0] == 0:
-            continue
-        padded, n_real = _pad_batch(audio, bs)
-        spikes = _featurize(_place_batch(padded, mesh), fcfg, mesh)
-        spikes = _spikes_to_host(spikes, n_real)
-        labels = idx.labels[start:stop][kept]
-        n_total += n_real
-        if writer is not None:
-            writer.append(spikes, labels, np.arange(start, stop)[kept])
-        else:
-            spikes_out.append(spikes)
-            labels_out.append(labels)
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_decode, *chunks[0]) if chunks else None
+        for i, (start, stop) in enumerate(chunks):
+            audio, kept, errors = fut.result()
+            if i + 1 < len(chunks):
+                fut = pool.submit(_decode, *chunks[i + 1])
+            for path, err in errors:
+                log.warning("Error loading %s: %s", path, err)
+            if audio.shape[0] == 0:
+                continue
+            padded, n_real = _pad_batch(audio, bs)
+            spikes = _featurize(_place_batch(padded, mesh), fcfg, mesh)
+            spikes = _spikes_to_host(spikes, n_real)
+            labels = idx.labels[start:stop][kept]
+            n_total += n_real
+            if writer is not None:
+                writer.append(spikes, labels, np.arange(start, stop)[kept])
+            else:
+                spikes_out.append(spikes)
+                labels_out.append(labels)
 
     if writer is not None:
         manifest = writer.close()
