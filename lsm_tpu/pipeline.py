@@ -120,7 +120,10 @@ def _spikes_to_host(spikes_dev: jax.Array, n_real: int) -> np.ndarray:
     t = spikes_dev.shape[-1]
     if t % 8:
         return np.asarray(spikes_dev[:n_real])
-    packed = np.asarray(_pack_spike_bits(spikes_dev[:n_real]))
+    # Pack the full padded batch (one static shape -> one compile) and
+    # slice the packed array; slicing before the jit would re-trace per
+    # distinct kept-count.
+    packed = np.asarray(_pack_spike_bits(spikes_dev)[:n_real])
     return np.unpackbits(packed, axis=-1, bitorder="little")
 
 

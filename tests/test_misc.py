@@ -135,9 +135,13 @@ def test_cli_subprocess_honors_jax_platforms(tmp_path):
     import subprocess
     import sys
 
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parents[1])
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    prev = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = repo + (os.pathsep + prev if prev else "")
     r = subprocess.run(
         [sys.executable, "-c",
          "from lsm_tpu.cli.common import setup_logging; setup_logging(); "
