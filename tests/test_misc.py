@@ -150,3 +150,31 @@ def test_cli_subprocess_honors_jax_platforms(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "backend=cpu" in r.stdout
+
+
+def test_sweep_regime_grid():
+    """sweep_regime covers the (fanout, weight, variance, multiplier) grid
+    and classifies regimes with the diagnostics thresholds; extreme
+    multipliers must bracket the participation range."""
+    from lsm_tpu.config import ReservoirConfig
+    from lsm_tpu.models.sweep import sweep_regime
+
+    rng = np.random.default_rng(0)
+    spikes = (rng.random((8, 16, 40)) < 0.2).astype(np.uint8)
+    cfg = ReservoirConfig(
+        num_neurons=128, num_output_neurons=64, small_world_k=26,
+        input_fanout=4,
+    )
+    pts = sweep_regime(
+        spikes, cfg,
+        input_fanouts=[4], input_weights=[1.0], weight_variances=[10.0],
+        multipliers=[0.05, 3.0], n_probe=4,
+    )
+    assert len(pts) == 2
+    lo, hi = pts
+    assert lo.participation <= hi.participation
+    assert all(
+        p.regime in ("SUB-CRITICAL", "EDGE OF CHAOS", "SUPER-CRITICAL")
+        for p in pts
+    )
+    assert hi.spikes_per_neuron > 0
