@@ -189,25 +189,29 @@ def main() -> None:
             # Labels derived from each file's class directory (sorted rglob
             # is class-major over c00..c11; labels_np is NOT aligned to it).
             class_idx = {c: i for i, c in enumerate(classes)}
-            lab_cold = np.asarray(
+            all_labels = np.asarray(
                 [class_idx[f.parent.name] for f in files], np.int32
             )
-            # warmup (decode once, run once)
-            batch, _, _ = load_audio_batch(files, fcfg.sample_rate, fcfg.duration)
+            # warmup (decode once, run once); `kept` keeps labels aligned
+            # with the decoded rows if any file fails to decode.
+            batch, kept, _ = load_audio_batch(files, fcfg.sample_rate, fcfg.duration)
+            lab_cold = all_labels[kept]
             pad = (-batch.shape[0]) % n_chips if mesh is not None else 0
             if pad:
                 batch = np.pad(batch, ((0, pad), (0, 0)))
             int(e2e_correct(place(batch), place(
                 np.pad(lab_cold, (0, pad)) if pad else lab_cold)))
             t0 = time.perf_counter()
-            batch, _, _ = load_audio_batch(files, fcfg.sample_rate, fcfg.duration)
+            batch, kept, _ = load_audio_batch(files, fcfg.sample_rate, fcfg.duration)
+            lab_cold = all_labels[kept]
+            pad = (-batch.shape[0]) % n_chips if mesh is not None else 0
             if pad:
                 batch = np.pad(batch, ((0, pad), (0, 0)))
             int(e2e_correct(place(batch), place(
                 np.pad(lab_cold, (0, pad)) if pad else lab_cold)))
             dt = time.perf_counter() - t0
-        cold_rate = len(files) / dt
-        log(f"e2e cold (disk+decode+H2D+classify): {len(files)} utterances "
+        cold_rate = len(kept) / dt
+        log(f"e2e cold (disk+decode+H2D+classify): {len(kept)} utterances "
             f"in {dt:.3f}s = {cold_rate:.1f} utt/s "
             f"({cold_rate / n_chips:.1f}/chip)")
 

@@ -16,6 +16,7 @@ accuracy when labels are available) to stdout and --output.
 """
 
 import argparse
+import sys
 from pathlib import Path
 
 import numpy as np
@@ -45,8 +46,8 @@ def main() -> None:
     try:
         bundle = model_io.load_model(Path(args.model))
     except FileNotFoundError as e:
-        print(f"Error: {e}")
-        return
+        print(f"Error: {e}", file=sys.stderr)
+        sys.exit(1)
     mesh = mesh_from_args(args)
     cfg = PipelineConfig(
         frontend=bundle.frontend,
@@ -63,17 +64,15 @@ def main() -> None:
         # Raw WAVs: featurize first, then classify in memory.
         ds = pipeline.create_spike_dataset(cfg, Path(args.data_dir), mesh=mesh)
         source = _InMemorySource(ds)
-        labels_known = True
     elif args.input is not None:
         p = Path(args.input)
         if p.is_dir():
             source = ShardedSpikeDataset(p)
         else:
             source = _InMemorySource(artifacts.load_spike_dataset(p))
-        labels_known = True
     else:
-        print("Error: provide --data-dir or --input.")
-        return
+        print("Error: provide --data-dir or --input.", file=sys.stderr)
+        sys.exit(1)
 
     preds, labels = pipeline.classify_spikes_streaming(
         cfg, source, bundle.reservoir, bundle.readout, bundle.scaler, mesh=mesh
@@ -88,7 +87,7 @@ def main() -> None:
     counts = np.bincount(preds, minlength=len(bundle.class_names))
     for name, c in zip(bundle.class_names, counts):
         print(f"  {name:>10s}: {c}")
-    if labels_known and labels.size and labels.max() >= 0:
+    if labels.size and labels.max() >= 0:
         acc = float((preds == labels).mean())
         print(f"Accuracy vs provided labels: {acc * 100:.2f}%")
 

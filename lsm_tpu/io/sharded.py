@@ -207,13 +207,23 @@ class ShardedSpikeDataset:
             if self.manifest.get("format") != _FORMAT:
                 raise ValueError("unknown sharded dataset format")
         elif (self.root / _JOURNAL).exists():
-            shards = [
-                e
-                for line in (self.root / _JOURNAL).read_text().splitlines()
-                if line.strip()
-                for e in [json.loads(line)]
-                if "header" not in e
-            ]
+            # The journal IS the crashed-run artifact: a kill mid-append
+            # leaves a truncated trailing line, and a kill between journal
+            # append and shard fsync can reference a missing file — keep
+            # the valid, on-disk prefix (mirrors the writer's _load_journal).
+            shards: List[dict] = []
+            for line in (self.root / _JOURNAL).read_text().splitlines():
+                if not line.strip():
+                    continue
+                try:
+                    e = json.loads(line)
+                except json.JSONDecodeError:
+                    break                      # truncated tail: stop here
+                if "header" in e:
+                    continue
+                if not (self.root / e["file"]).exists():
+                    break
+                shards.append(e)
             self.manifest = {
                 "format": _FORMAT,
                 "num_samples": int(sum(s["num_samples"] for s in shards)),

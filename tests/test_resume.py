@@ -139,3 +139,29 @@ def test_pipeline_resume_no_recompute(cfg, corpus_dir, tmp_path, monkeypatch):
     np.testing.assert_array_equal(ds.y_labels, truth.y_labels)
     manifest = json.loads((out / "manifest.json").read_text())
     assert manifest["num_samples"] == truth.x_spikes.shape[0]
+
+
+def test_reader_journal_fallback_truncated_tail(tmp_path, rng):
+    """Reading a crashed run directly (no manifest) must tolerate the two
+    crash artifacts: a truncated trailing journal line and a journaled
+    shard whose file never hit disk — the valid prefix is returned."""
+    from lsm_tpu.io.sharded import ShardedSpikeDataset, ShardedSpikeDatasetWriter
+
+    root = tmp_path / "ds"
+    w = ShardedSpikeDatasetWriter(root, shard_size=8)
+    x = (rng.random((16, 4, 8)) < 0.3).astype(np.uint8)
+    y = rng.integers(0, 3, 16).astype(np.int32)
+    w.append(x, y)          # flushes two complete shards of 8
+    # Crash before close(): no manifest. Simulate a torn journal append.
+    (root / "journal.jsonl").open("a").write('{"file": "shard_0000')
+
+    ds = ShardedSpikeDataset(root)
+    assert ds.is_partial
+    assert ds.num_samples == 16
+    np.testing.assert_array_equal(ds.load_all().x_spikes, x)
+
+    # A journal entry whose shard file is missing ends the valid prefix.
+    (root / "shard_00001.npz").unlink()
+    ds2 = ShardedSpikeDataset(root)
+    assert ds2.num_samples == 8
+    np.testing.assert_array_equal(ds2.load_all().x_spikes, x[:8])

@@ -66,9 +66,16 @@ def main() -> None:
     n_data = n_dev // n_model
     mesh = meshlib.make_mesh(n_data=n_data, n_model=n_model)
     n = args.num_neurons
-    if args.sparse and n % 128:
-        n = -(-n // 128) * 128
-        log(f"--sparse: rounding neurons {args.num_neurons} -> {n} (x128)")
+    if args.sparse:
+        # The sparse TP path shards destination BLOCKS over the model
+        # axis, so the block count must divide n_model: round neurons to
+        # a multiple of 128 * n_model (10000 -> 10240 on 8 devices), not
+        # just 128 (10112 = 79 blocks, prime, would reject any n_model>1).
+        q = 128 * (1 if args.pallas else n_model)
+        if n % q:
+            n = -(-n // q) * q
+            log(f"--sparse: rounding neurons {args.num_neurons} -> {n} "
+                f"(x{q})")
     mm = jnp.bfloat16 if args.bf16 else None
     # --pallas goes through the single-device dispatcher (bf16 operands by
     # design); the TP shard_map paths use all n_dev devices.
