@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Streaming keyword-spotting latency/throughput (BASELINE configs[4]).
+
+Drives models.streaming.StreamingKWS on real hardware: per-chunk
+push + predict wall latency at several parallel-stream counts, against
+the real-time budget (chunk_len / sample_rate). Through the axon relay
+each step carries the ~15-30 ms dispatch round-trip (bench.py reports
+the floor); on a directly-attached host that term vanishes.
+
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_streaming.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--chunk-ms", type=int, default=100)
+    parser.add_argument("--streams", type=int, nargs="+",
+                        default=[1, 128, 1024])
+    parser.add_argument("--steps", type=int, default=10)
+    args = parser.parse_args()
+
+    from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    enable_compile_cache()
+
+    import numpy as np
+
+    from lsm_tpu.config import FrontendConfig, ReservoirConfig, FEATURE_SETS
+    from lsm_tpu.models import reservoir as res
+    from lsm_tpu.models.streaming import StreamingKWS
+    from lsm_tpu.readout.logistic import LogisticParams
+    from lsm_tpu.readout.scaler import ScalerState
+
+    import jax.numpy as jnp
+
+    fcfg = FrontendConfig()
+    rcfg = ReservoirConfig(mean_weight=0.0107)
+    params = res.init_reservoir(rcfg, n_channels=fcfg.n_filters)
+    d = len(FEATURE_SETS["original"]) * rcfg.num_output_neurons
+    rng = np.random.default_rng(0)
+    readout = LogisticParams(
+        w=jnp.asarray(rng.normal(0, 0.01, (d, 12)).astype(np.float32)),
+        b=jnp.zeros((12,), jnp.float32),
+    )
+    st = ScalerState(mean=jnp.zeros((d,), jnp.float32),
+                     scale=jnp.ones((d,), jnp.float32))
+
+    chunk_len = fcfg.sample_rate * args.chunk_ms // 1000
+    budget_ms = 1000.0 * chunk_len / fcfg.sample_rate
+    log(f"chunk={args.chunk_ms} ms ({chunk_len} samples), "
+        f"real-time budget {budget_ms:.0f} ms/step")
+
+    for ns in args.streams:
+        kws = StreamingKWS(params, readout, st, fcfg, n_streams=ns)
+        chunk = (rng.standard_normal((ns, chunk_len)) * 0.1).astype(np.float32)
+        kws.push(chunk)
+        kws.predict()                       # compile + warmup
+        times = []
+        for _ in range(args.steps):
+            t0 = time.perf_counter()
+            kws.push(chunk)
+            kws.predict()
+            times.append(time.perf_counter() - t0)
+        best, med = min(times), sorted(times)[len(times) // 2]
+        rtf = budget_ms / (med * 1e3)       # real-time factor per stream
+        print(f"streams={ns:5d}: per-step best {best*1e3:6.1f} ms "
+              f"median {med*1e3:6.1f} ms -> {rtf:6.1f}x real-time, "
+              f"{ns / med:,.0f} stream-chunks/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
