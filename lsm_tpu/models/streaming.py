@@ -64,6 +64,14 @@ class StreamingKWS:
 
         self._evaluate = _evaluate
 
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _step(buffer, chunk, w, b, mean, scale):
+            n = chunk.shape[-1]
+            buffer = jnp.concatenate([buffer[:, n:], chunk], axis=-1)
+            return buffer, _evaluate(buffer, w, b, mean, scale)
+
+        self._step = _step
+
     def push(self, chunk: np.ndarray) -> None:
         """Append a (n_streams, chunk_len) audio chunk to the ring buffer."""
         if chunk.ndim == 1:
@@ -89,6 +97,29 @@ class StreamingKWS:
 
     def predict(self) -> np.ndarray:
         return np.argmax(self.logits(), axis=-1)
+
+    def step(self, chunk: np.ndarray) -> np.ndarray:
+        """push + logits fused into ONE dispatch: (n_streams, n_classes).
+
+        Semantically identical to push(chunk) then logits(), but the
+        buffer roll and the window evaluation compile into a single
+        program — one device dispatch per chunk instead of two, which
+        matters when each dispatch carries a relay round-trip."""
+        if chunk.ndim == 1:
+            chunk = chunk[None, :]
+        if chunk.shape[0] != self.n_streams:
+            raise ValueError(
+                f"expected {self.n_streams} streams, got {chunk.shape[0]}"
+            )
+        self.buffer, out = self._step(
+            self.buffer,
+            jnp.asarray(chunk, jnp.float32),
+            self.readout.w,
+            self.readout.b,
+            self.scaler_state.mean,
+            self.scaler_state.scale,
+        )
+        return np.asarray(out)
 
     def reset(self, stream_idx: Optional[int] = None) -> None:
         if stream_idx is None:

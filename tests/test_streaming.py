@@ -57,3 +57,19 @@ def test_streaming_window_slides(rng):
     silent = kws.logits()
     kws.push(np.zeros((1, 16000), np.float32))
     np.testing.assert_allclose(silent, kws.logits(), atol=1e-5)
+
+
+def test_streaming_step_fused_matches_push_then_logits(rng):
+    """step(chunk) (one fused dispatch) == push(chunk); logits() — same
+    buffer state, same logits, chunk after chunk."""
+    kws_a = _setup(n_streams=2)
+    kws_b = _setup(n_streams=2)
+    for i in range(5):
+        chunk = rng.standard_normal((2, 1600)).astype(np.float32) * 0.2
+        fused = kws_a.step(chunk)
+        kws_b.push(chunk)
+        two_calls = kws_b.logits()
+        np.testing.assert_allclose(fused, two_calls, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(kws_a.buffer), np.asarray(kws_b.buffer), atol=0
+    )

@@ -64,13 +64,11 @@ def main() -> None:
     for ns in args.streams:
         kws = StreamingKWS(params, readout, st, fcfg, n_streams=ns)
         chunk = (rng.standard_normal((ns, chunk_len)) * 0.1).astype(np.float32)
-        kws.push(chunk)
-        kws.predict()                       # compile + warmup
+        kws.step(chunk)                     # compile + warmup (fused path)
         times = []
         for _ in range(args.steps):
             t0 = time.perf_counter()
-            kws.push(chunk)
-            kws.predict()
+            kws.step(chunk).argmax(-1)
             times.append(time.perf_counter() - t0)
         best, med = min(times), sorted(times)[len(times) // 2]
         rtf = budget_ms / (med * 1e3)       # real-time factor per stream
