@@ -66,6 +66,11 @@ class StreamingKWS:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def _step(buffer, chunk, w, b, mean, scale):
+            if chunk.dtype == jnp.int16:
+                # PCM16 ingest: convert on device with the decoders'
+                # exact scaling (io/wav.py:59, native/wavio.cpp) — the
+                # host->device transfer moves half the bytes.
+                chunk = chunk.astype(jnp.float32) / 32768.0
             n = chunk.shape[-1]
             buffer = jnp.concatenate([buffer[:, n:], chunk], axis=-1)
             return buffer, _evaluate(buffer, w, b, mean, scale)
@@ -104,16 +109,22 @@ class StreamingKWS:
         Semantically identical to push(chunk) then logits(), but the
         buffer roll and the window evaluation compile into a single
         program — one device dispatch per chunk instead of two, which
-        matters when each dispatch carries a relay round-trip."""
+        matters when each dispatch carries a relay round-trip.
+
+        Accepts float32 samples in [-1, 1] or raw int16 PCM; PCM chunks
+        transfer half the bytes and convert on device with the exact
+        decoder scaling (pcm / 32768), so the two forms are bit-equal."""
         if chunk.ndim == 1:
             chunk = chunk[None, :]
         if chunk.shape[0] != self.n_streams:
             raise ValueError(
                 f"expected {self.n_streams} streams, got {chunk.shape[0]}"
             )
+        if chunk.dtype != np.int16:
+            chunk = np.asarray(chunk, np.float32)
         self.buffer, out = self._step(
             self.buffer,
-            jnp.asarray(chunk, jnp.float32),
+            jnp.asarray(chunk),
             self.readout.w,
             self.readout.b,
             self.scaler_state.mean,

@@ -73,3 +73,14 @@ def test_streaming_step_fused_matches_push_then_logits(rng):
     np.testing.assert_allclose(
         np.asarray(kws_a.buffer), np.asarray(kws_b.buffer), atol=0
     )
+
+
+def test_streaming_step_accepts_int16_pcm(rng):
+    """int16 PCM chunks == float chunks scaled by the decoders' exact
+    /32768 convention, bit-equal logits."""
+    kws_a = _setup(n_streams=1)
+    kws_b = _setup(n_streams=1)
+    pcm = rng.integers(-2000, 2000, (1, 1600)).astype(np.int16)
+    la = kws_a.step(pcm)
+    lb = kws_b.step(pcm.astype(np.float32) / 32768.0)
+    np.testing.assert_array_equal(la, lb)

@@ -27,6 +27,9 @@ def main() -> None:
     parser.add_argument("--streams", type=int, nargs="+",
                         default=[1, 128, 1024])
     parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--pcm16", action="store_true",
+                        help="Feed raw int16 PCM chunks (half the ingest "
+                             "bytes; device-side conversion, bit-equal).")
     args = parser.parse_args()
 
     from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
@@ -64,6 +67,8 @@ def main() -> None:
     for ns in args.streams:
         kws = StreamingKWS(params, readout, st, fcfg, n_streams=ns)
         chunk = (rng.standard_normal((ns, chunk_len)) * 0.1).astype(np.float32)
+        if args.pcm16:
+            chunk = (chunk * 32768.0).astype(np.int16)
         kws.step(chunk)                     # compile + warmup (fused path)
         times = []
         for _ in range(args.steps):
