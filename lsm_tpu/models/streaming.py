@@ -55,17 +55,23 @@ class StreamingKWS:
         self.n_streams = n_streams
         self.buffer = jnp.zeros((n_streams, fcfg.num_samples), jnp.float32)
 
+        keys = self.keys
+
+        # params rides as a jit ARGUMENT (it is a registered-pytree
+        # dataclass), never a closure: closed-over weights become HLO
+        # literal constants and a large reservoir overflows the remote
+        # compile service (CLAUDE.md).
         @jax.jit
-        def _evaluate(buffer, w, b, mean, scale):
+        def _evaluate(p, buffer, w, b, mean, scale):
             spikes = featurize_batch(buffer, fcfg)
-            feats = res.extract_features_batch(params, spikes, self.keys)
+            feats = res.extract_features_batch(p, spikes, keys)
             feats = (feats - mean) / scale
             return feats @ w + b
 
         self._evaluate = _evaluate
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def _step(buffer, chunk, w, b, mean, scale):
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _step(p, buffer, chunk, w, b, mean, scale):
             if chunk.dtype == jnp.int16:
                 # PCM16 ingest: convert on device with the decoders'
                 # exact scaling (io/wav.py:59, native/wavio.cpp) — the
@@ -73,25 +79,55 @@ class StreamingKWS:
                 chunk = chunk.astype(jnp.float32) / 32768.0
             n = chunk.shape[-1]
             buffer = jnp.concatenate([buffer[:, n:], chunk], axis=-1)
-            return buffer, _evaluate(buffer, w, b, mean, scale)
+            return buffer, _evaluate(p, buffer, w, b, mean, scale)
 
         self._step = _step
 
-    def push(self, chunk: np.ndarray) -> None:
-        """Append a (n_streams, chunk_len) audio chunk to the ring buffer."""
+    def _normalize_chunk(self, chunk: np.ndarray) -> np.ndarray:
+        """Shared ingest policy for push()/step(): shape and dtype.
+
+        float inputs are cast to f32 ([-1, 1] samples); int16 stays int16
+        (the jitted step converts with the decoders' exact /32768 on
+        device); other integer dtypes are rejected rather than silently
+        cast unscaled. A chunk longer than the analysis window would
+        silently grow the buffer (changing the evaluated window and
+        recompiling everything downstream), so it is rejected too."""
+        chunk = np.asarray(chunk)
         if chunk.ndim == 1:
             chunk = chunk[None, :]
         if chunk.shape[0] != self.n_streams:
             raise ValueError(
                 f"expected {self.n_streams} streams, got {chunk.shape[0]}"
             )
+        if chunk.shape[-1] > self.fcfg.num_samples:
+            raise ValueError(
+                f"chunk length {chunk.shape[-1]} exceeds the analysis "
+                f"window ({self.fcfg.num_samples} samples)"
+            )
+        if chunk.dtype == np.int16:
+            return chunk
+        if np.issubdtype(chunk.dtype, np.integer):
+            raise TypeError(
+                f"integer PCM chunks must be int16, got {chunk.dtype}"
+            )
+        return chunk.astype(np.float32)
+
+    def push(self, chunk: np.ndarray) -> None:
+        """Append a (n_streams, chunk_len) audio chunk to the ring buffer.
+
+        Same ingest contract as step(): f32 samples or int16 PCM (scaled
+        by the exact decoder convention on the host here)."""
+        chunk = self._normalize_chunk(chunk)
+        if chunk.dtype == np.int16:
+            chunk = chunk.astype(np.float32) / 32768.0
         self.buffer = _push_chunk(
-            self.buffer, jnp.asarray(chunk, jnp.float32), self.fcfg, self.keys
+            self.buffer, jnp.asarray(chunk), self.fcfg, self.keys
         )
 
     def logits(self) -> np.ndarray:
         """Evaluate the current trailing window. (n_streams, n_classes)."""
         out = self._evaluate(
+            self.params,
             self.buffer,
             self.readout.w,
             self.readout.b,
@@ -114,15 +150,9 @@ class StreamingKWS:
         Accepts float32 samples in [-1, 1] or raw int16 PCM; PCM chunks
         transfer half the bytes and convert on device with the exact
         decoder scaling (pcm / 32768), so the two forms are bit-equal."""
-        if chunk.ndim == 1:
-            chunk = chunk[None, :]
-        if chunk.shape[0] != self.n_streams:
-            raise ValueError(
-                f"expected {self.n_streams} streams, got {chunk.shape[0]}"
-            )
-        if chunk.dtype != np.int16:
-            chunk = np.asarray(chunk, np.float32)
+        chunk = self._normalize_chunk(chunk)
         self.buffer, out = self._step(
+            self.params,
             self.buffer,
             jnp.asarray(chunk),
             self.readout.w,

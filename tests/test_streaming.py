@@ -84,3 +84,23 @@ def test_streaming_step_accepts_int16_pcm(rng):
     la = kws_a.step(pcm)
     lb = kws_b.step(pcm.astype(np.float32) / 32768.0)
     np.testing.assert_array_equal(la, lb)
+
+
+def test_streaming_ingest_contract(rng):
+    """push and step share the ingest policy: int16 PCM scales /32768 on
+    both; other int dtypes and window-overflow chunks are rejected."""
+    import pytest
+
+    kws_a = _setup(n_streams=1)
+    kws_b = _setup(n_streams=1)
+    pcm = rng.integers(-2000, 2000, (1, 1600)).astype(np.int16)
+    kws_a.push(pcm)
+    kws_b.push(pcm.astype(np.float32) / 32768.0)
+    np.testing.assert_array_equal(kws_a.logits(), kws_b.logits())
+
+    with pytest.raises(TypeError):
+        kws_a.step(pcm.astype(np.int32))
+    with pytest.raises(ValueError):
+        kws_a.step(np.zeros((1, 16001), np.float32))
+    with pytest.raises(ValueError):
+        kws_a.push(np.zeros((1, 16001), np.float32))
