@@ -128,6 +128,12 @@ def add_extension_flags(p: argparse.ArgumentParser) -> None:
                    help="Disable the automatic data-parallel mesh and run "
                         "every stage on one device (default: shard over "
                         "all devices).")
+    p.add_argument("--check", action="store_true",
+                   help="Debug sanitizer mode: run stages under checkify "
+                        "float checks (single-device paths) and validate "
+                        "stage outputs (0/1 spikes, finite non-constant "
+                        "features); NaN/Inf fails loudly instead of being "
+                        "papered over. Costs a pass over the data.")
 
 
 def mesh_from_args(args: argparse.Namespace):
@@ -159,4 +165,5 @@ def build_config(args: argparse.Namespace) -> PipelineConfig:
         max_samples_per_class=getattr(args, "samples_per_class", 1000),
         commands=commands,
         batch_size=getattr(args, "batch_size", 512),
+        check=getattr(args, "check", False),
     )

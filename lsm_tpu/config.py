@@ -186,6 +186,12 @@ class PipelineConfig:
     # Compute batch size for featurization / reservoir simulation. Chosen
     # so the per-step (B, N) x (N, N) recurrent matmul saturates the MXU.
     batch_size: int = 512
+    # Debug sanitizer mode (--check; SURVEY.md section 5.2): route the
+    # single-device stage computations through checkify float checks
+    # (NaN/Inf anywhere inside the jitted stage -> located hard error)
+    # and validate stage OUTPUTS host-side (spike 0/1 invariant, finite
+    # non-constant features). Costs a pass over the data; defaults off.
+    check: bool = False
 
 
 def feature_dim(feature_set: str, num_output_neurons: int) -> int:

@@ -26,7 +26,13 @@ from lsm_tpu.readout.logistic import LogisticParams
 from lsm_tpu.readout.scaler import ScalerState
 
 MODEL_FILENAME = "lsm_model.npz"
-_FORMAT = "lsm_tpu.model.v1"
+# Dense bundles keep the original tag (older loaders stay compatible);
+# sparse bundles carry their own tag so a pre-sparse build of load_model
+# fails with an explicit "unknown model format" instead of a raw
+# KeyError('w_rec') deep in deserialization.
+_FORMAT_DENSE = "lsm_tpu.model.v1"
+_FORMAT_SPARSE = "lsm_tpu.model.v2-sparse"
+_KNOWN_FORMATS = (_FORMAT_DENSE, _FORMAT_SPARSE)
 
 
 class ModelBundle(NamedTuple):
@@ -69,7 +75,7 @@ def save_model(
     else:
         weights = dict(w_rec=np.asarray(reservoir.w_rec))
     meta = {
-        "format": _FORMAT,
+        "format": _FORMAT_SPARSE if is_sparse else _FORMAT_DENSE,
         "feature_set": feature_set,
         "class_names": list(class_names),
         "frontend": dataclasses.asdict(frontend),
@@ -94,8 +100,11 @@ def load_model(path: Path) -> ModelBundle:
         raise FileNotFoundError(f"Model file not found: '{path}'")
     data = np.load(path, allow_pickle=True)
     meta = json.loads(str(data["meta"]))
-    if meta.get("format") != _FORMAT:
-        raise ValueError(f"unknown model format in '{path}'")
+    if meta.get("format") not in _KNOWN_FORMATS:
+        raise ValueError(
+            f"unknown model format {meta.get('format')!r} in '{path}' "
+            f"(this build reads: {', '.join(_KNOWN_FORMATS)})"
+        )
     rs = meta["reservoir_static"]
     fdict = meta["frontend"]
     # Tuples were serialized as lists; restore for the frozen dataclass.

@@ -147,8 +147,17 @@ def init_reservoir_sparse(
             + dst % BLOCK
         )
         wvals = jax.random.normal(k_w, (half, n), jnp.float32) * std + mw
-        # Duplicate (src, dst) edges collapse to one value (scatter-set),
-        # matching the dense generator's boolean-adjacency semantics.
+        # Duplicate (src, dst) edges WITHIN a slot collapse to one value
+        # (scatter-set), matching the dense generator's boolean-adjacency
+        # semantics. Across slots they do not: a rewired edge that lands on
+        # a (src, dst) pair also occupied by a ring-band edge (or by a
+        # rewired edge in a different partner slot) occupies a different
+        # slot and the two draws SUM in the simulation (densify() sums the
+        # same way, so the XLA/Pallas bit-equality oracle is consistent).
+        # Consequence: a few edges carry ~2x-distributed weights and
+        # per-neuron out-degree is exactly k/2 up to these rare collisions
+        # (P ~ p*k/2N per edge) — a tiny statistical-contract deviation the
+        # regime/accuracy oracles police, not a correctness bug.
         w_blocks = (
             jnp.zeros((nb * S * BLOCK * BLOCK,), jnp.float32)
             .at[flat.reshape(-1)]

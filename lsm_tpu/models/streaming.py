@@ -7,6 +7,14 @@ batch path (featurize -> reservoir -> features -> readout), so streaming
 predictions are bit-identical to offline predictions on the same window —
 there is no approximate "streaming feature" variant to validate separately.
 
+Scale-out (the second half of configs[4]): streams are independent, so the
+stream axis shards over the mesh data axis exactly like utterances in
+`parallel.sharded.extract_features_dp` — pass `mesh=` and the ring buffer,
+the fused step, and the evaluation all run per-shard under shard_map with
+ZERO collectives; capacity is per-chip capacity x n_chips. Reference
+counterpart: none (the reference is a batch pipeline with no streaming;
+SURVEY.md section 5.7 mandates this mode).
+
 Latency budget: one window evaluation for a small stream batch is a few ms
 on a v5e chip (dominated by the 400-step LIF scan), well inside a typical
 10-100 ms hop. The sequence axis stays on-chip via lax.scan (SURVEY.md
@@ -15,16 +23,20 @@ section 5.7): longer audio just means more scan steps, O(1) state.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsm_tpu.config import FEATURE_SETS, FrontendConfig
 from lsm_tpu.models import reservoir as res
 from lsm_tpu.models.frontend import featurize_batch
+from lsm_tpu.parallel.mesh import DATA_AXIS
 from lsm_tpu.readout import logistic, scaler
 
 
@@ -36,16 +48,25 @@ def _push_chunk(buffer: jax.Array, chunk: jax.Array, fcfg: FrontendConfig, keys)
 
 
 class StreamingKWS:
-    """Stateful sliding-window keyword spotter over B parallel streams."""
+    """Stateful sliding-window keyword spotter over B parallel streams.
+
+    With `mesh=None` (default) everything runs single-device. With a mesh,
+    the stream axis shards along the mesh data axis: `n_streams` must be
+    divisible by the data-axis size, and every step runs the full
+    featurize -> reservoir -> readout chain per shard (the production
+    `extract_features` dispatcher, so each chip runs the fused Pallas LIF
+    kernel on its local streams on TPU).
+    """
 
     def __init__(
         self,
-        params: res.ReservoirParams,
+        params,
         readout: logistic.LogisticParams,
         scaler_state: scaler.ScalerState,
         fcfg: FrontendConfig,
         feature_set: str = "original",
         n_streams: int = 1,
+        mesh: Optional[Mesh] = None,
     ):
         self.params = params
         self.readout = readout
@@ -53,22 +74,63 @@ class StreamingKWS:
         self.fcfg = fcfg
         self.keys = tuple(FEATURE_SETS[feature_set])
         self.n_streams = n_streams
+        self.mesh = mesh
         self.buffer = jnp.zeros((n_streams, fcfg.num_samples), jnp.float32)
 
         keys = self.keys
 
-        # params rides as a jit ARGUMENT (it is a registered-pytree
-        # dataclass), never a closure: closed-over weights become HLO
-        # literal constants and a large reservoir overflows the remote
-        # compile service (CLAUDE.md).
-        @jax.jit
-        def _evaluate(p, buffer, w, b, mean, scale):
-            spikes = featurize_batch(buffer, fcfg)
-            feats = res.extract_features_batch(p, spikes, keys)
-            feats = (feats - mean) / scale
-            return feats @ w + b
+        if mesh is None:
+            self._buf_sharding = None
 
-        self._evaluate = _evaluate
+            # params rides as a jit ARGUMENT (it is a registered-pytree
+            # dataclass), never a closure: closed-over weights become HLO
+            # literal constants and a large reservoir overflows the remote
+            # compile service (CLAUDE.md).
+            def _eval_inner(p, buffer, w, b, mean, scale):
+                spikes = featurize_batch(buffer, fcfg)
+                feats = res.extract_features(p, spikes, keys)
+                feats = (feats - mean) / scale
+                return feats @ w + b
+
+        else:
+            n_data = mesh.shape[DATA_AXIS]
+            if n_streams % n_data:
+                raise ValueError(
+                    f"n_streams={n_streams} must be divisible by the mesh "
+                    f"data axis ({n_data}) so stream shards are equal"
+                )
+            self._buf_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+            self.buffer = jax.device_put(self.buffer, self._buf_sharding)
+
+            # Weight arrays enter shard_map replicated, by name, and the
+            # static params metadata rides via dataclasses.replace — the
+            # same pattern as parallel.sharded.extract_features_dp, which
+            # also covers block-sparse reservoirs.
+            if isinstance(params, res.ReservoirParams):
+                names = ("w_rec", "w_in", "leak")
+            else:  # models.sparse.SparseReservoirParams
+                names = ("w_blocks", "src_idx", "w_in", "leak")
+
+            def _eval_local(buffer_local, w, b, mean, scale, *weights):
+                p = dataclasses.replace(params, **dict(zip(names, weights)))
+                spikes = featurize_batch(buffer_local, fcfg)
+                feats = res.extract_features(p, spikes, keys)
+                feats = (feats - mean) / scale
+                return feats @ w + b
+
+            _eval_sm = shard_map(
+                _eval_local,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None),) + (P(),) * (4 + len(names)),
+                out_specs=P(DATA_AXIS, None),
+                check_vma=False,
+            )
+
+            def _eval_inner(p, buffer, w, b, mean, scale):
+                weights = [getattr(p, nm) for nm in names]
+                return _eval_sm(buffer, w, b, mean, scale, *weights)
+
+        self._evaluate = jax.jit(_eval_inner)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _step(p, buffer, chunk, w, b, mean, scale):
@@ -79,9 +141,17 @@ class StreamingKWS:
                 chunk = chunk.astype(jnp.float32) / 32768.0
             n = chunk.shape[-1]
             buffer = jnp.concatenate([buffer[:, n:], chunk], axis=-1)
-            return buffer, _evaluate(p, buffer, w, b, mean, scale)
+            return buffer, _eval_inner(p, buffer, w, b, mean, scale)
 
         self._step = _step
+
+    def _place_chunk(self, chunk: np.ndarray) -> jax.Array:
+        """Move a host chunk to device; sharded along streams on a mesh so
+        the H2D transfer splits across chips and the jitted step sees its
+        operands already laid out (no resharding inside the program)."""
+        if self._buf_sharding is not None:
+            return jax.device_put(chunk, self._buf_sharding)
+        return jnp.asarray(chunk)
 
     def _normalize_chunk(self, chunk: np.ndarray) -> np.ndarray:
         """Shared ingest policy for push()/step(): shape and dtype.
@@ -121,7 +191,7 @@ class StreamingKWS:
         if chunk.dtype == np.int16:
             chunk = chunk.astype(np.float32) / 32768.0
         self.buffer = _push_chunk(
-            self.buffer, jnp.asarray(chunk), self.fcfg, self.keys
+            self.buffer, self._place_chunk(chunk), self.fcfg, self.keys
         )
 
     def logits(self) -> np.ndarray:
@@ -154,7 +224,7 @@ class StreamingKWS:
         self.buffer, out = self._step(
             self.params,
             self.buffer,
-            jnp.asarray(chunk),
+            self._place_chunk(chunk),
             self.readout.w,
             self.readout.b,
             self.scaler_state.mean,
@@ -164,6 +234,9 @@ class StreamingKWS:
 
     def reset(self, stream_idx: Optional[int] = None) -> None:
         if stream_idx is None:
-            self.buffer = jnp.zeros_like(self.buffer)
+            buf = jnp.zeros(self.buffer.shape, self.buffer.dtype)
+            if self._buf_sharding is not None:
+                buf = jax.device_put(buf, self._buf_sharding)
+            self.buffer = buf
         else:
             self.buffer = self.buffer.at[stream_idx].set(0.0)

@@ -84,15 +84,47 @@ def _place_batch(x: np.ndarray, mesh: Optional[Mesh]) -> jax.Array:
     return meshlib.shard_batch(np.asarray(x), mesh)
 
 
-def _featurize(audio_dev: jax.Array, fcfg, mesh: Optional[Mesh]) -> jax.Array:
+def _featurize(
+    audio_dev: jax.Array, fcfg, mesh: Optional[Mesh], check: bool = False
+) -> jax.Array:
     """Featurize on one device or via shard_map over the mesh (the Pallas
     gtgram kernel has no GSPMD partitioning rule, so the sharded path must
-    go through shard_map, mirroring extract_features_dp)."""
+    go through shard_map, mirroring extract_features_dp).
+
+    check=True (the --check debug mode): the single-device path runs under
+    checkify float checks, so a NaN/Inf produced ANYWHERE inside the
+    featurizer chain raises a located error instead of silently encoding
+    garbage. The mesh path relies on the host-side output validation in
+    the callers (checkify does not compose with shard_map here)."""
     if mesh is None:
+        if check:
+            from lsm_tpu.utils import checks
+
+            return checks.checked(lambda a: featurize_batch(a, fcfg))(audio_dev)
         return featurize_batch(audio_dev, fcfg)
     from lsm_tpu.parallel.sharded import featurize_dp
 
     return featurize_dp(audio_dev, fcfg, mesh)
+
+
+def _check_spikes_host(spikes: np.ndarray, context: str) -> None:
+    """--check invariant: spike trains are strictly 0/1 (the contract the
+    bit-packed D2H transfer and the reservoir drive both assume)."""
+    bad = (spikes != 0) & (spikes != 1)
+    if bad.any():
+        raise RuntimeError(
+            f"--check failed in {context}: {int(bad.sum())} spike values "
+            "outside {0, 1}"
+        )
+
+
+def _check_features_host(features: np.ndarray, context: str) -> None:
+    """--check validation of extracted features (utils.checks)."""
+    from lsm_tpu.utils.checks import validate_features_host
+
+    ok, msg = validate_features_host(features)
+    if not ok:
+        raise RuntimeError(f"--check failed in {context}: {msg}")
 
 
 @jax.jit
@@ -221,8 +253,12 @@ def create_spike_dataset(
             if audio.shape[0] == 0:
                 continue
             padded, n_real = _pad_batch(audio, bs)
-            spikes = _featurize(_place_batch(padded, mesh), fcfg, mesh)
+            spikes = _featurize(
+                _place_batch(padded, mesh), fcfg, mesh, check=cfg.check
+            )
             spikes = _spikes_to_host(spikes, n_real)
+            if cfg.check:
+                _check_spikes_host(spikes, "create_spike_dataset")
             labels = idx.labels[start:stop][kept]
             n_total += n_real
             if writer is not None:
@@ -277,8 +313,13 @@ def featurize_audio_array(
     out = []
     for start, stop in _batched(audio.shape[0], bs):
         padded, n_real = _pad_batch(audio[start:stop], bs)
-        spikes = _featurize(_place_batch(padded, mesh), cfg.frontend, mesh)
-        out.append(_spikes_to_host(spikes, n_real))
+        spikes = _featurize(
+            _place_batch(padded, mesh), cfg.frontend, mesh, check=cfg.check
+        )
+        host = _spikes_to_host(spikes, n_real)
+        if cfg.check:
+            _check_spikes_host(host, "featurize_audio_array")
+        out.append(host)
     return np.concatenate(out, axis=0)
 
 
@@ -397,13 +438,37 @@ def extract_lsm_features(
 
         params = jax.device_put(params, meshlib.replicated(mesh))
 
+    if cfg.check and mesh is None:
+        # --check debug mode: the checkify-instrumented XLA scan paths
+        # (float checks cannot instrument the Pallas kernels; those are
+        # covered by their bit-equality tests) — a NaN/Inf anywhere in the
+        # simulation raises a located error.
+        from lsm_tpu.utils import checks
+
+        if isinstance(params, res.ReservoirParams):
+            _checked_extract = checks.checked(
+                lambda p, s: res.extract_features_batch(p, s, keys)
+            )
+        else:
+            from lsm_tpu.models.sparse import simulate_batch_sparse
+
+            def _checked_extract(p, s):
+                stats = checks.checked(simulate_batch_sparse)(p, s)
+                stats.pop("all_counts", None)
+                return res.features_from_stats(stats, keys)
+
     def extract(split: np.ndarray, desc: str) -> np.ndarray:
         out, n_reals = [], []
         t0 = time.perf_counter()
         for start, stop in _batched(split.shape[0], bs):
             padded, n_real = _pad_batch(split[start:stop], bs)
             if mesh is None:
-                feats = res.extract_features(params, jnp.asarray(padded), keys)
+                if cfg.check:
+                    feats = _checked_extract(params, jnp.asarray(padded))
+                else:
+                    feats = res.extract_features(
+                        params, jnp.asarray(padded), keys
+                    )
             else:
                 feats = extract_features_dp(
                     params, _place_batch(padded, mesh), keys, mesh
@@ -420,6 +485,9 @@ def extract_lsm_features(
 
     train_feat = extract(x_train, "Training")
     test_feat = extract(x_test, "Testing")
+    if cfg.check:
+        _check_features_host(train_feat, "extract_lsm_features (train)")
+        _check_features_host(test_feat, "extract_lsm_features (test)")
 
     st = scaler.fit_scaler(jnp.asarray(train_feat))
     train_scaled = np.asarray(scaler.transform(st, jnp.asarray(train_feat)))

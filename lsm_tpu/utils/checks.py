@@ -5,9 +5,11 @@ mode is silent NaN propagation (it papers over NaNs with np.nan_to_num at
 extract_lsm_features.py:85). Here, functional purity removes data races by
 construction, and this module provides the sanitizer analogue for numerics:
 `checkify`-wrapped variants of the stage functions that turn NaN/Inf and
-invariant violations into hard, located errors, for use in tests and
-debugging runs (they cost a pass over the data; production paths stay
-unchecked).
+invariant violations into hard, located errors. Wired into production via
+the CLI `--check` flag (PipelineConfig.check): featurization and the
+reservoir simulation run under `checked`, and stage outputs are validated
+host-side (pipeline._check_spikes_host / _check_features_host). Costs a
+pass over the data; the default paths stay unchecked.
 """
 
 from __future__ import annotations
@@ -50,7 +52,8 @@ def assert_spike_invariants(spikes: jnp.ndarray) -> None:
 
 
 def validate_features_host(features) -> Tuple[bool, str]:
-    """Host-side post-hoc validation used by the pipeline's debug flag."""
+    """Host-side post-hoc validation behind the CLI --check flag
+    (pipeline._check_features_host raises on a False verdict)."""
     import numpy as np
 
     f = np.asarray(features)

@@ -3,9 +3,10 @@
 // TPU-native counterpart of the reference's audio ingest layer: where the
 // reference leans on libsndfile/soxr via librosa (create_dataset.py:26),
 // this library decodes many RIFF/WAVE files in parallel worker threads,
-// downmixes to mono, linearly resamples to the target rate, and
-// pads/truncates into one contiguous (n, target_len) float32 batch ready
-// for jax.device_put. Exposed via a C ABI consumed with ctypes
+// downmixes to mono, resamples to the target rate with a windowed-sinc
+// (Kaiser) polyphase kernel (see resample_sinc below), and pads/truncates
+// into one contiguous (n, target_len) float32 batch ready for
+// jax.device_put. Exposed via a C ABI consumed with ctypes
 // (lsm_tpu/io/native.py).
 //
 // Supported encodings: PCM 8/16/24/32-bit and IEEE float32/64, any channel

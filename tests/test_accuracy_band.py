@@ -58,6 +58,27 @@ def test_reference_config_lands_in_band(corpus):
     )
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_band_holds_across_reservoir_seeds(corpus, seed):
+    """The band is a STATISTICAL contract (SURVEY.md 2.3), not a property
+    of one RNG draw: different reservoir seeds (different topology + weight
+    draws, same distribution) must land in the same band with the same
+    regime. Measured 2026-08-17: seed 42 -> 0.8333, 7 -> 0.8056,
+    1234 -> 0.7778, 2026 -> 0.8194 (cross-seed spread ~0.06, well inside
+    the band width 0.14)."""
+    audio, labels = corpus
+    cfg = dataclasses.replace(
+        PipelineConfig(batch_size=64), reservoir=ReservoirConfig(seed=seed)
+    )
+    res, ext = pipeline.run_pipeline_arrays(cfg, audio, labels, mesh=None)
+    assert ext.diagnostics.regime == "EDGE OF CHAOS", ext.diagnostics.regime
+    assert ACC_BAND[0] <= res.accuracy <= ACC_BAND[1], (
+        f"seed {seed} scored {res.accuracy:.4f}, outside {ACC_BAND} — the "
+        "defaults are calibrated to an RNG draw, not to semantics"
+    )
+
+
 def test_oracle_has_power_against_broken_semantics(corpus):
     """A broken inference choice (input fanout 2 instead of the calibrated
     8 — the projection semantics SURVEY.md 2.3 marks [inferred]) must fall

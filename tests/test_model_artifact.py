@@ -83,3 +83,41 @@ class _Source:
 def test_load_model_missing_file(tmp_path):
     with pytest.raises(FileNotFoundError):
         model_io.load_model(tmp_path / "nope.npz")
+
+
+def test_sparse_bundle_carries_versioned_format(tmp_path):
+    """Sparse bundles save under their own format tag, so a pre-sparse
+    loader (which only knows lsm_tpu.model.v1) rejects them with a clear
+    versioning error instead of a raw KeyError('w_rec')."""
+    import json
+
+    from lsm_tpu.models.sparse import init_reservoir_sparse
+
+    rcfg = ReservoirConfig(
+        num_neurons=256, num_output_neurons=128, small_world_k=52,
+        mean_weight=0.01, sparse=True,
+    )
+    sparams = init_reservoir_sparse(rcfg, n_channels=32)
+    d = 5 * 128
+    path = tmp_path / "sparse_model.npz"
+    model_io.save_model(
+        path, reservoir=sparams,
+        readout=logistic.LogisticParams(
+            w=jnp.zeros((d, 4)), b=jnp.zeros((4,))
+        ),
+        scaler=scaler.ScalerState(mean=jnp.zeros((d,)), scale=jnp.ones((d,))),
+        frontend=FrontendConfig(n_filters=32),
+        feature_set="original", class_names=("a", "b", "c", "d"),
+    )
+    data = np.load(path, allow_pickle=True)
+    assert json.loads(str(data["meta"]))["format"] == model_io._FORMAT_SPARSE
+    bundle = model_io.load_model(path)          # this build reads it fine
+    assert bundle.reservoir.n_neurons == 256
+
+    # An unknown tag must name the formats this build understands.
+    meta = json.loads(str(data["meta"]))
+    meta["format"] = "lsm_tpu.model.v99"
+    bad = {k: data[k] for k in data.files if k != "meta"}
+    np.savez(tmp_path / "bad.npz", meta=json.dumps(meta), **bad)
+    with pytest.raises(ValueError, match="unknown model format.*v99"):
+        model_io.load_model(tmp_path / "bad.npz")

