@@ -333,6 +333,144 @@ def update_output_stats(
     )
 
 
+def stats_from_raster(
+    raster: jnp.ndarray,          # (B, T, no) bool — output-neuron spikes
+    n_win: int,
+    burst_isi_max: int,
+) -> Dict[str, jnp.ndarray]:
+    """Window statistics straight from a spike raster, fully VECTORIZED.
+
+    Produces EXACTLY the accumulator dict a T-step loop of
+    update_output_stats over the raster would (bit-equal,
+    tests/test_continuous.py) — but with no sequential scan: the only
+    order-dependent quantity, each spike's previous-spike time, is an
+    associative cummax of (t if spike else -1) shifted by one step; every
+    other statistic is a weighted reduction over T. This is the evaluation
+    path of continuous-mode streaming (models/continuous.py), where the
+    raster ring is cheap VPU state and re-deriving window stats per hop
+    costs O(B*T*no) elementwise work instead of re-running the O(B*N*N*T)
+    LIF recurrence.
+    """
+    B, T, no = raster.shape
+    sof = raster.astype(jnp.float32)                     # (B, T, no)
+    tf = jnp.arange(T, dtype=jnp.float32)[None, :, None]
+
+    counts = jnp.sum(sof, axis=1)
+    sum_t = jnp.sum(sof * tf, axis=1)
+    sum_t2 = jnp.sum(sof * tf * tf, axis=1)
+    first = jnp.min(jnp.where(raster, tf, jnp.inf), axis=1)
+    last = jnp.max(jnp.where(raster, tf, -1.0), axis=1)
+
+    # prev_t[t] = time of the latest spike strictly before t (-1 if none):
+    # inclusive cummax of (t if spike else -1), shifted right by one.
+    m = jax.lax.cummax(jnp.where(raster, tf, -1.0), axis=1)
+    prev_t = jnp.concatenate(
+        [jnp.full((B, 1, no), -1.0), m[:, :-1, :]], axis=1
+    )
+    isi_event = jnp.logical_and(raster, prev_t >= 0.0)
+    isi = jnp.where(isi_event, tf - prev_t, 0.0)
+    n_isi = jnp.sum(isi_event.astype(jnp.float32), axis=1)
+    sum_isi = jnp.sum(isi, axis=1)
+    sum_isi2 = jnp.sum(isi * isi, axis=1)
+    bursts = jnp.sum(
+        jnp.logical_and(isi_event, isi <= burst_isi_max).astype(jnp.float32),
+        axis=1,
+    )
+
+    # Windowed-rate counts with update_output_stats' exact clamping:
+    # window index = min(t // win_len, n_win - 1).
+    win_len = max(1, T // n_win)
+    wi = np.minimum(np.arange(T) // win_len, n_win - 1)
+    onehot = jnp.asarray(
+        (wi[:, None] == np.arange(n_win)[None, :]).astype(np.float32)
+    )                                                    # (T, n_win)
+    win_counts = jnp.einsum(
+        "btn,tw->bnw", sof, onehot, preferred_element_type=jnp.float32
+    )
+
+    return dict(
+        counts=counts, sum_t=sum_t, sum_t2=sum_t2, first=first, last=last,
+        n_isi=n_isi, sum_isi=sum_isi, sum_isi2=sum_isi2, bursts=bursts,
+        win_counts=win_counts,
+    )
+
+
+def segment_summary(
+    raster: jnp.ndarray,          # (B, T_c, no) bool — one segment's spikes
+    burst_isi_max: int,
+) -> Dict[str, jnp.ndarray]:
+    """Per-segment statistics with SEGMENT-RELATIVE times — the monoid
+    element of the sliding-window stats (see fold_segment_stats).
+
+    Identical fields to stats_from_raster minus win_counts (rate windows
+    are tracked in their own ring by the continuous-mode caller); ISI
+    fields cover spike pairs INTERNAL to the segment only — cross-segment
+    pairs are reconstructed exactly by the fold from (first, last,
+    counts)."""
+    st = stats_from_raster(raster, n_win=1, burst_isi_max=burst_isi_max)
+    st.pop("win_counts")
+    return st
+
+
+def fold_segment_stats(
+    segs: Dict[str, jnp.ndarray],  # each (n_ring, B, no); ring[0] = oldest
+    seg_len: int,
+    burst_isi_max: int,
+) -> Dict[str, jnp.ndarray]:
+    """Combine consecutive segment summaries into whole-window statistics
+    (times relative to the window start = segment 0's start).
+
+    Segment stats are associative under concatenation: sums shift by the
+    segment offset (sum_t += offset*counts; sum_t2 += 2*offset*sum_t_rel +
+    offset^2*counts — exact in f32 for offsets < 2^11 and t < 2^12);
+    first/last are offset min/max; and the ISI chain crosses a segment
+    boundary exactly once per non-empty segment — from the previous
+    non-empty segment's last spike to this segment's first — so a single
+    carried last-spike time reconstructs every cross-segment interval,
+    including over empty segments. Matches stats_from_raster on the
+    concatenated raster (bit-equal for the integer-valued fields,
+    float-order tolerance on sum_t2/sum_isi2; tests/test_continuous.py).
+    """
+    n_ring = segs["counts"].shape[0]
+    counts = jnp.sum(segs["counts"], axis=0)
+    sum_t = counts * 0.0
+    sum_t2 = counts * 0.0
+    first = jnp.full_like(counts, jnp.inf)
+    last = jnp.full_like(counts, -1.0)
+    n_isi = jnp.sum(segs["n_isi"], axis=0)
+    sum_isi = jnp.sum(segs["sum_isi"], axis=0)
+    sum_isi2 = jnp.sum(segs["sum_isi2"], axis=0)
+    bursts = jnp.sum(segs["bursts"], axis=0)
+
+    carry_last = jnp.full_like(counts, -1.0)
+    for k in range(n_ring):
+        off = float(k * seg_len)
+        ck = segs["counts"][k]
+        has = ck > 0
+        fk = segs["first"][k] + off            # inf stays inf when silent
+        lk = segs["last"][k]
+        sum_t = sum_t + segs["sum_t"][k] + off * ck
+        sum_t2 = sum_t2 + segs["sum_t2"][k] + 2.0 * off * segs["sum_t"][k] \
+            + off * off * ck
+        first = jnp.minimum(first, jnp.where(has, fk, jnp.inf))
+        last = jnp.maximum(last, jnp.where(has, lk + off, -1.0))
+        # The one boundary-crossing interval ending in this segment.
+        cross = jnp.logical_and(has, carry_last >= 0.0)
+        isi = jnp.where(cross, fk - carry_last, 0.0)
+        n_isi = n_isi + cross.astype(jnp.float32)
+        sum_isi = sum_isi + isi
+        sum_isi2 = sum_isi2 + isi * isi
+        bursts = bursts + jnp.logical_and(
+            cross, isi <= burst_isi_max
+        ).astype(jnp.float32)
+        carry_last = jnp.where(has, lk + off, carry_last)
+
+    return dict(
+        counts=counts, sum_t=sum_t, sum_t2=sum_t2, first=first, last=last,
+        n_isi=n_isi, sum_isi=sum_isi, sum_isi2=sum_isi2, bursts=bursts,
+    )
+
+
 def lif_update(
     v: jnp.ndarray,
     refrac: jnp.ndarray,

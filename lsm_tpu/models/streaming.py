@@ -219,12 +219,17 @@ class StreamingKWS:
 
         Accepts float32 samples in [-1, 1] or raw int16 PCM; PCM chunks
         transfer half the bytes and convert on device with the exact
-        decoder scaling (pcm / 32768), so the two forms are bit-equal."""
-        chunk = self._normalize_chunk(chunk)
+        decoder scaling (pcm / 32768), so the two forms are bit-equal. A
+        jax.Array chunk is trusted as already device-resident (and, under
+        a mesh, already stream-sharded) — the zero-copy ingest path."""
+        if isinstance(chunk, jax.Array):
+            dev = chunk
+        else:
+            dev = self._place_chunk(self._normalize_chunk(chunk))
         self.buffer, out = self._step(
             self.params,
             self.buffer,
-            self._place_chunk(chunk),
+            dev,
             self.readout.w,
             self.readout.b,
             self.scaler_state.mean,

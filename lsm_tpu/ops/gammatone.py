@@ -207,34 +207,25 @@ def _block_iir_matrices(fs: float, channels: int, f_min: float, L: int):
     )
 
 
-def gtgram_iir(
-    wave: jnp.ndarray,
+def gtgram_iir_scan(
+    blocks: jnp.ndarray,          # (n_sub, B, g) scan-major waveform blocks
+    init_state: jnp.ndarray,      # (B, 8, C) cascade state at blocks[0]
     fs: float,
-    window_time: float,
-    hop_time: float,
     channels: int,
     f_min: float,
-) -> jnp.ndarray:
-    """Exact gammatone spectrogram. wave: (B, S) -> (B, C, n_cols).
+    g: int,
+):
+    """The exact block-IIR scan, with an EXPLICIT carried state.
 
-    Block-IIR formulation: a lax.scan over sub-blocks of g = gcd(hop, nwin)
-    samples where each step applies the exact block-form cascade (see
-    _block_iir_matrices) as batched matmuls and emits the sub-block energy
-    sum per (batch, channel). Window energies are then exact contiguous
-    sums of nwin/g sub-blocks. The full-rate filtered signal never
-    materializes in HBM.
+    Factored out of gtgram_iir so streaming featurization can continue the
+    cascade across chunk boundaries bit-exactly: feeding a signal in chunks
+    (threading the returned state) performs the identical op sequence as
+    one whole-signal call (tests/test_continuous.py). Returns
+    (final_state (B, 8, C), sub_energy (n_sub, B, C)).
     """
-    B, S = wave.shape
-    nwin, hop, n_cols = gtgram_strides(fs, window_time, hop_time, S)
-    g = math.gcd(hop, nwin)
-    # Pad so S is a multiple of g (padding only affects windows past n_cols).
-    n_sub = -(-S // g)
-    pad = n_sub * g - S
-    if pad:
-        wave = jnp.pad(wave, ((0, 0), (0, pad)))
-
-    m_yx, m_sy, m_xs, m_ss = _block_iir_matrices(fs, channels, f_min, g)
+    B = blocks.shape[1]
     C = channels
+    m_yx, m_sy, m_xs, m_ss = _block_iir_matrices(fs, channels, f_min, g)
 
     # Flatten the per-channel block maps into single 2D matmuls so the MXU
     # sees one big (B, g) x (g, g*C) contraction per step instead of C small
@@ -246,10 +237,6 @@ def gtgram_iir(
     w_xs = jnp.asarray(np.ascontiguousarray(m_xs.transpose(1, 2, 0)).reshape(g, 8 * C))
     m_sy_t = jnp.asarray(np.ascontiguousarray(m_sy.transpose(1, 2, 0)))  # (8, g, C)
     m_ss_t = jnp.asarray(np.ascontiguousarray(m_ss.transpose(1, 2, 0)))  # (8, 8, C)
-
-    # (n_sub, B, g): scan-major layout. The wave is shared across channels;
-    # the channel axis appears through the per-channel block matrices.
-    blocks = wave.reshape(B, n_sub, g).transpose(1, 0, 2)
 
     # Precision: the STATE path must be exact — the TPU default (bf16
     # operands) breaks near-unit-circle IIR state propagation over 200 block
@@ -277,8 +264,41 @@ def gtgram_iir(
         energy = jnp.sum(y * y, axis=1)                        # (B, C)
         return new_state, energy
 
+    return jax.lax.scan(step, init_state, blocks, unroll=2)
+
+
+def gtgram_iir(
+    wave: jnp.ndarray,
+    fs: float,
+    window_time: float,
+    hop_time: float,
+    channels: int,
+    f_min: float,
+) -> jnp.ndarray:
+    """Exact gammatone spectrogram. wave: (B, S) -> (B, C, n_cols).
+
+    Block-IIR formulation: a lax.scan over sub-blocks of g = gcd(hop, nwin)
+    samples where each step applies the exact block-form cascade (see
+    _block_iir_matrices) as batched matmuls and emits the sub-block energy
+    sum per (batch, channel). Window energies are then exact contiguous
+    sums of nwin/g sub-blocks. The full-rate filtered signal never
+    materializes in HBM.
+    """
+    B, S = wave.shape
+    nwin, hop, n_cols = gtgram_strides(fs, window_time, hop_time, S)
+    g = math.gcd(hop, nwin)
+    # Pad so S is a multiple of g (padding only affects windows past n_cols).
+    n_sub = -(-S // g)
+    pad = n_sub * g - S
+    if pad:
+        wave = jnp.pad(wave, ((0, 0), (0, pad)))
+
+    # (n_sub, B, g): scan-major layout. The wave is shared across channels;
+    # the channel axis appears through the per-channel block matrices.
+    blocks = wave.reshape(B, n_sub, g).transpose(1, 0, 2)
+
     init = jnp.zeros((B, 8, channels), jnp.float32)
-    _, sub_energy = jax.lax.scan(step, init, blocks, unroll=2)  # (n_sub, B, C)
+    _, sub_energy = gtgram_iir_scan(blocks, init, fs, channels, f_min, g)
     sub_energy = sub_energy.transpose(1, 2, 0)                 # (B, C, n_sub)
 
     # Window w covers sub-blocks [w*hop/g, w*hop/g + nwin/g).

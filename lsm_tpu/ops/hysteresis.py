@@ -80,6 +80,54 @@ def hysteresis_encode(
     return out.astype(jnp.uint8)
 
 
+def hysteresis_encode_step(
+    spec: jnp.ndarray,
+    state: jnp.ndarray,
+    thresholds: Sequence[float],
+    gap: float,
+):
+    """Chunked encoder with an EXPLICIT carried trigger state.
+
+    The boolean affine maps compose left-to-right, so a chunk's scanned
+    prefix (b, c) extends an arbitrary initial state a0 in closed form:
+    active_t = b_t | (a0 & c_t). Feeding a signal in chunks (threading the
+    returned state) is bit-equal to one whole-signal hysteresis_encode
+    (tests/test_continuous.py) — the streaming featurizer's encoder.
+
+    Args:
+      spec: (..., n_filters, T_chunk) float in [0, 1].
+      state: (..., n_thr, n_filters) bool — trigger state after the
+        previous chunk (all-False == stream start, matching
+        hysteresis_encode's implicit initial state).
+    Returns:
+      (spikes (..., n_filters, T_chunk * n_thr) uint8 interleaved,
+       new_state (..., n_thr, n_filters) bool).
+    """
+    thr = np.sort(np.asarray(thresholds, dtype=np.float32))[::-1]
+    n_thr = len(thr)
+    t_len = spec.shape[-1]
+
+    xt = jnp.swapaxes(spec, -1, -2)                 # (..., T, F)
+    x = xt[..., None, :, :]                         # (..., 1, T, F)
+    thr_col = jnp.asarray(thr.copy()).reshape(
+        (1,) * (spec.ndim - 2) + (n_thr, 1, 1)
+    )
+    rising = x > thr_col
+    holdable = x >= (thr_col - gap)
+
+    b, c = jax.lax.associative_scan(
+        lambda l, r: _compose(l, r), (rising, holdable), axis=-2
+    )
+    active = jnp.logical_or(
+        b, jnp.logical_and(state[..., :, None, :], c)
+    )                                                # (..., n_thr, T, F)
+    new_state = active[..., -1, :]
+
+    out = jnp.moveaxis(jnp.moveaxis(active, -1, -3), (-2, -1), (-1, -2))
+    out = out.reshape(out.shape[:-2] + (t_len * n_thr,))
+    return out.astype(jnp.uint8), new_state
+
+
 def hysteresis_encode_reference(
     spec: np.ndarray, thresholds: Sequence[float], gap: float
 ) -> np.ndarray:

@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Continuous-mode KWS accuracy delta + throughput vs the exact mode.
+
+Protocol (the oracle for models/continuous.py's documented approximations):
+train the flagship pipeline on the frozen hard benchmark (batch path, the
+same features the exact streaming mode serves), then score the held-out
+split three ways:
+
+  1. exact batch predictions (== StreamingKWS on a full window);
+  2. continuous mode, COLD: each test utterance streamed from reset in
+     100 ms chunks, prediction read after its last chunk — isolates the
+     featurizer-grid + causal-normalization deltas (membrane starts at 0
+     both ways);
+  3. continuous mode, CARRY-IN: a different utterance is streamed
+     immediately before each test utterance with NO reset — adds the
+     carried membrane/normalization state, the realistic always-on
+     operating condition.
+
+Also times continuous step() vs exact StreamingKWS.step() at equal stream
+counts: the per-hop work ratio is the capacity multiplier the mode exists
+for. Results recorded in docs/VALIDATION.md ("Continuous-mode KWS").
+
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_continuous.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n-per-class", type=int, default=30)
+    parser.add_argument("--chunk-ms", type=int, default=100)
+    parser.add_argument("--bench-streams", type=int, nargs="+",
+                        default=[128, 1024])
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--skip-bench", action="store_true")
+    parser.add_argument("--device-resident", action="store_true",
+                        help="Pre-place bench chunks on device: measures "
+                             "device compute, excluding the per-step H2D "
+                             "chunk transfer (which dominates through the "
+                             "relay: ~26 MB/step at 4096 f32 streams).")
+    parser.add_argument("--cpu-devices", type=int, default=None)
+    args = parser.parse_args()
+
+    from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    if args.cpu_devices:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+        _jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    enable_compile_cache()
+
+    import numpy as np
+
+    from lsm_tpu import pipeline
+    from lsm_tpu.config import PipelineConfig
+    from lsm_tpu.io import dataset
+    from lsm_tpu.models.continuous import ContinuousKWS
+    from lsm_tpu.models.streaming import StreamingKWS
+
+    cfg = PipelineConfig(batch_size=64)
+    fs = cfg.frontend.sample_rate
+    chunk_len = fs * args.chunk_ms // 1000
+    n_chunks = cfg.frontend.num_samples // chunk_len
+
+    # --- train the flagship model on the frozen hard benchmark ------------
+    audio, labels = dataset.synthetic_audio_batch_hard(
+        n_per_class=args.n_per_class, n_classes=12, seed=42
+    )
+    spikes = pipeline.featurize_audio_array(cfg, audio, mesh=None)
+    from lsm_tpu.io.artifacts import SpikeDataset
+
+    x_train, x_test, y_train, y_test = pipeline.stratified_split(
+        audio, labels, cfg.test_size, cfg.split_seed
+    )
+    ds = SpikeDataset(x_spikes=spikes, y_labels=labels)
+    ext = pipeline.extract_lsm_features(cfg, ds, run_diagnostics=False,
+                                        mesh=None)
+    result = pipeline.train_and_evaluate(cfg, ext.artifact, mesh=None)
+    exact_acc = result.accuracy
+    log(f"exact/batch accuracy: {exact_acc:.4f} "
+        f"(mean_weight={ext.mean_weight:.6f})")
+
+    # The batch split and the audio split use the same seed + stratify, so
+    # x_test here is the raw audio of the same held-out utterances.
+    n_test = len(y_test)
+    exact_preds = None
+    # Exact predictions for the agreement metric: classify the test spikes
+    # through the trained readout (identical to StreamingKWS on the window).
+    import jax.numpy as jnp
+
+    from lsm_tpu.config import FEATURE_SETS
+    from lsm_tpu.models import reservoir as res
+    from lsm_tpu.readout import logistic, scaler as scaler_mod
+
+    keys = tuple(FEATURE_SETS[cfg.feature_set])
+    test_spikes = pipeline.featurize_audio_array(cfg, x_test, mesh=None)
+    feats = res.extract_features(ext.params, jnp.asarray(test_spikes), keys)
+    exact_preds = np.asarray(
+        logistic.predict(result.params,
+                         scaler_mod.transform(ext.scaler, feats))
+    )
+
+    def stream_features(x: np.ndarray, carry_in: bool) -> np.ndarray:
+        """Stream utterances as parallel streams; return the continuous
+        features at each utterance's last chunk (raw, unscaled)."""
+        n = x.shape[0]
+        kws = ContinuousKWS(
+            ext.params, result.params, ext.scaler, cfg.frontend,
+            cfg.feature_set, n_streams=n, chunk_len=chunk_len,
+        )
+        if carry_in:
+            # Stream a shifted copy first, no reset: every stream enters
+            # its target utterance with carried state (the always-on
+            # operating condition).
+            prev = np.roll(x, 1, axis=0)
+            for c in range(n_chunks):
+                kws.step(prev[:, c * chunk_len:(c + 1) * chunk_len])
+        for c in range(n_chunks):
+            kws.step(x[:, c * chunk_len:(c + 1) * chunk_len])
+        return kws.features()
+
+    for name, carry in (("cold", False), ("carry-in", True)):
+        tf = stream_features(x_test, carry)
+        preds = np.asarray(
+            logistic.predict(result.params,
+                             scaler_mod.transform(ext.scaler, jnp.asarray(tf)))
+        )
+        acc = float((preds == y_test).mean())
+        agree = float((preds == exact_preds).mean())
+        print(f"continuous {name:8s} (batch-trained readout): acc={acc:.4f} "
+              f"(delta vs exact {acc - exact_acc:+.4f}), "
+              f"agreement with exact predictions {agree:.4f}", flush=True)
+
+    # --- MATCHED protocol: readout trained on continuous features ----------
+    # Production deployments of continuous mode calibrate the readout on
+    # continuous-mode features (same reservoir, same stats — different
+    # operating distribution). This measures the mode's intrinsic
+    # discriminability rather than its drift from the batch distribution.
+    train_f = stream_features(x_train, carry_in=True)
+    test_f = stream_features(x_test, carry_in=True)
+    st2 = scaler_mod.fit_scaler(jnp.asarray(train_f))
+    tr2 = scaler_mod.transform(st2, jnp.asarray(train_f))
+    te2 = scaler_mod.transform(st2, jnp.asarray(test_f))
+    p2, _ = logistic.fit_logistic(
+        tr2, jnp.asarray(y_train), num_classes=12,
+        l2_c=cfg.readout.l2_c, max_iter=cfg.readout.max_iter,
+        tol=cfg.readout.tol,
+    )
+    preds2 = np.asarray(logistic.predict(p2, te2))
+    acc2 = float((preds2 == y_test).mean())
+    print(f"continuous matched  (continuous-trained readout): acc={acc2:.4f} "
+          f"(delta vs exact {acc2 - exact_acc:+.4f})", flush=True)
+
+    if args.skip_bench:
+        return
+
+    # --- throughput: continuous vs exact step at equal streams ------------
+    budget_ms = 1000.0 * chunk_len / fs
+    rng = np.random.default_rng(0)
+    for ns in args.bench_streams:
+        chunk = (rng.standard_normal((ns, chunk_len)) * 0.1).astype(np.float32)
+        if args.device_resident:
+            chunk = jnp.asarray(chunk)
+            chunk.block_until_ready()
+        rows = {}
+        for name, mk in (
+            ("exact", lambda: StreamingKWS(
+                ext.params, result.params, ext.scaler, cfg.frontend,
+                cfg.feature_set, n_streams=ns)),
+            ("continuous", lambda: ContinuousKWS(
+                ext.params, result.params, ext.scaler, cfg.frontend,
+                cfg.feature_set, n_streams=ns, chunk_len=chunk_len)),
+        ):
+            kws = mk()
+            kws.step(chunk)                       # compile + warmup
+            times = []
+            for _ in range(args.steps):
+                t0 = time.perf_counter()
+                kws.step(chunk)
+                times.append(time.perf_counter() - t0)
+            med = sorted(times)[len(times) // 2]
+            rows[name] = med
+            print(f"streams={ns:5d} {name:10s}: median {med * 1e3:6.1f} ms "
+                  f"-> {budget_ms / (med * 1e3):5.1f}x real-time, "
+                  f"{ns / med:,.0f} stream-chunks/s", flush=True)
+        print(f"streams={ns:5d} continuous speedup: "
+              f"{rows['exact'] / rows['continuous']:.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()
