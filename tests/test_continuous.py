@@ -127,6 +127,81 @@ def _setup(n_streams=2, mesh=None, seed=0):
     )
 
 
+def test_chunk_kernel_matches_xla(rng):
+    """The fused chunked LIF kernel (carried state in/out + in-kernel
+    segment summary) must be bit-equal to the XLA scan +
+    reservoir.segment_summary on dyadic-quantized weights, over several
+    chained chunks (state threading included)."""
+    import dataclasses as dc
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from lsm_tpu.ops.pallas.lif_chunk_kernel import simulate_chunk_pallas
+
+    rcfg = ReservoirConfig(
+        num_neurons=128, num_output_neurons=64, small_world_k=16,
+        mean_weight=0.05,
+    )
+    params = res.init_reservoir(rcfg, n_channels=16)
+    q = lambda a: jnp.round(jnp.asarray(a) * 256.0) / 256.0
+    params = dc.replace(
+        params, w_rec=q(params.w_rec), w_in=q(params.w_in),
+        leak=jnp.zeros_like(params.leak),
+    )
+    B, T_c, no, n_pad = 3, 40, 64, params.w_rec.shape[0]
+    c_pad = params.w_in.shape[0]
+    win_len, n_new_win = 40, 1
+
+    v = jnp.zeros((B, n_pad), jnp.float32)
+    refrac = jnp.zeros((B, n_pad), jnp.float32)
+    s_prev = jnp.zeros((B, n_pad), jnp.float32)
+    vx, rx, sx = v, refrac.astype(jnp.int32), s_prev
+
+    for c in range(3):
+        spikes = jnp.asarray(
+            (rng.random((B, c_pad, T_c)) < 0.15).astype(np.uint8)
+        )
+        with pltpu.force_tpu_interpret_mode():
+            v, refrac, s_prev, seg_k, win_k = simulate_chunk_pallas(
+                params, spikes, v, refrac, s_prev, win_len, n_new_win
+            )
+
+        # XLA oracle chunk (mirrors the continuous fallback path).
+        xs_t = jnp.moveaxis(spikes.astype(jnp.float32), -1, 0)
+        w_rec = params.w_rec.astype(jnp.bfloat16)
+        w_in = params.w_in.astype(jnp.bfloat16)
+
+        def step(carry, x_t):
+            vv, rr, ss = carry
+            drive = (
+                jnp.dot(ss.astype(jnp.bfloat16), w_rec,
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(x_t.astype(jnp.bfloat16), w_in,
+                          preferred_element_type=jnp.float32)
+            )
+            vv, rr, spike = res.lif_update(
+                vv, rr, drive, jnp.ones_like(params.leak),
+                params.threshold, params.refractory,
+            )
+            return (vv, rr, spike.astype(jnp.float32)), spike[:, :no]
+
+        (vx, rx, sx), out = jax.lax.scan(step, (vx, rx, sx), xs_t)
+        out = out.transpose(1, 0, 2)
+        seg_x = res.segment_summary(out, params.burst_isi_max)
+        win_x = out.astype(jnp.float32).reshape(B, 1, 40, no).sum(axis=2)
+
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(vx))
+        np.testing.assert_array_equal(
+            np.asarray(refrac), np.asarray(rx, np.float32)
+        )
+        np.testing.assert_array_equal(np.asarray(s_prev), np.asarray(sx))
+        for k in seg_x:
+            np.testing.assert_array_equal(
+                np.asarray(seg_k[k]), np.asarray(seg_x[k]), err_msg=f"{c}:{k}"
+            )
+        np.testing.assert_array_equal(np.asarray(win_k), np.asarray(win_x))
+
+
 def test_continuous_stream_drives_reservoir(rng):
     kws = _setup(n_streams=2)
     silent = kws.step(np.zeros((2, 1600), np.float32))
@@ -209,33 +284,24 @@ def test_continuous_matched_readout_learns_hard_benchmark():
         run_diagnostics=False, mesh=None,
     )
 
-    d = 5 * 128
-    dummy_ro = logistic.LogisticParams(
-        w=jnp.zeros((d, 12), jnp.float32), b=jnp.zeros((12,), jnp.float32)
-    )
-    dummy_sc = scaler.ScalerState(
-        mean=jnp.zeros((d,), jnp.float32), scale=jnp.ones((d,), jnp.float32)
+    from lsm_tpu.models.continuous import fit_continuous_readout
+
+    ro, st = fit_continuous_readout(
+        ext.params, cfg.frontend, x_train, y_train, num_classes=12
     )
 
-    def stream_features(x):
-        kws = ContinuousKWS(
-            ext.params, dummy_ro, dummy_sc, cfg.frontend, n_streams=len(x)
-        )
-        prev = np.roll(x, 1, axis=0)        # carry-in warmup, no reset
-        for c in range(10):
-            kws.step(prev[:, c * 1600:(c + 1) * 1600])
-        for c in range(10):
-            kws.step(x[:, c * 1600:(c + 1) * 1600])
-        return jnp.asarray(kws.features())
-
-    train_f = stream_features(x_train)
-    test_f = stream_features(x_test)
-    st = scaler.fit_scaler(train_f)
-    params, _ = logistic.fit_logistic(
-        scaler.transform(st, train_f), jnp.asarray(y_train), num_classes=12
+    # Serve the test utterances through ContinuousKWS with the calibrated
+    # readout (carried-state condition) and read predictions off step().
+    kws = ContinuousKWS(
+        ext.params, ro, st, cfg.frontend, n_streams=len(x_test)
     )
-    preds = np.asarray(logistic.predict(params, scaler.transform(st, test_f)))
-    acc = float((preds == y_test).mean())
+    prev = np.roll(x_test, 1, axis=0)
+    for c in range(10):
+        kws.step(prev[:, c * 1600:(c + 1) * 1600])
+    out = None
+    for c in range(10):
+        out = kws.step(x_test[:, c * 1600:(c + 1) * 1600])
+    acc = float((np.argmax(out, axis=-1) == y_test).mean())
     assert acc > 0.4, f"continuous matched accuracy {acc} near chance (1/12)"
 
 

@@ -147,17 +147,18 @@ def main() -> None:
     # continuous-mode features (same reservoir, same stats — different
     # operating distribution). This measures the mode's intrinsic
     # discriminability rather than its drift from the batch distribution.
-    train_f = stream_features(x_train, carry_in=True)
-    test_f = stream_features(x_test, carry_in=True)
-    st2 = scaler_mod.fit_scaler(jnp.asarray(train_f))
-    tr2 = scaler_mod.transform(st2, jnp.asarray(train_f))
-    te2 = scaler_mod.transform(st2, jnp.asarray(test_f))
-    p2, _ = logistic.fit_logistic(
-        tr2, jnp.asarray(y_train), num_classes=12,
+    from lsm_tpu.models.continuous import fit_continuous_readout
+
+    p2, st2 = fit_continuous_readout(
+        ext.params, cfg.frontend, x_train, y_train, num_classes=12,
+        feature_set=cfg.feature_set, chunk_len=chunk_len,
         l2_c=cfg.readout.l2_c, max_iter=cfg.readout.max_iter,
         tol=cfg.readout.tol,
     )
-    preds2 = np.asarray(logistic.predict(p2, te2))
+    test_f = stream_features(x_test, carry_in=True)
+    preds2 = np.asarray(
+        logistic.predict(p2, scaler_mod.transform(st2, jnp.asarray(test_f)))
+    )
     acc2 = float((preds2 == y_test).mean())
     print(f"continuous matched  (continuous-trained readout): acc={acc2:.4f} "
           f"(delta vs exact {acc2 - exact_acc:+.4f})", flush=True)
