@@ -215,6 +215,52 @@ def main() -> None:
             f"in {dt:.3f}s = {cold_rate:.1f} utt/s "
             f"({cold_rate / n_chips:.1f}/chip)")
 
+    # --- streaming serving capacity (BASELINE configs[4]) ------------------
+    # Exact sliding-window mode and continuous (state-carrying) mode at
+    # 1024 parallel 100 ms streams, device-resident chunks (the H2D
+    # ingest is relay-bound and measured separately by
+    # tools/bench_continuous.py). Guarded: a streaming failure must not
+    # cost the headline metric.
+    streaming_extra = {}
+    try:
+        from lsm_tpu.models.continuous import ContinuousKWS
+        from lsm_tpu.models.streaming import StreamingKWS
+        from lsm_tpu.readout.scaler import ScalerState
+
+        ns, chunk_len = 1024, 1600
+        if mesh is not None and ns % n_chips:
+            ns = -(-ns // n_chips) * n_chips
+        d = train_x.shape[1]
+        sc = ScalerState(mean=jnp.zeros((d,), jnp.float32),
+                         scale=jnp.ones((d,), jnp.float32))
+        rng_s = np.random.default_rng(0)
+        chunk = jnp.asarray(
+            (rng_s.standard_normal((ns, chunk_len)) * 0.1).astype(np.float32)
+        )
+        if mesh is not None:
+            chunk = meshlib.shard_batch(np.asarray(chunk), mesh)
+        for name, kws in (
+            ("streaming_exact", StreamingKWS(
+                params, readout, sc, fcfg, n_streams=ns, mesh=mesh)),
+            ("streaming_continuous", ContinuousKWS(
+                params, readout, sc, fcfg, n_streams=ns,
+                chunk_len=chunk_len, mesh=mesh)),
+        ):
+            kws.step(chunk)                     # compile + warmup
+            ts = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                kws.step(chunk)
+                ts.append(time.perf_counter() - t0)
+            med = sorted(ts)[len(ts) // 2]
+            streaming_extra[f"{name}_chunks_per_sec_per_chip"] = round(
+                ns / med / n_chips, 1
+            )
+            log(f"{name}: {ns} streams, median {med * 1e3:.1f} ms/step "
+                f"-> {ns / med:,.0f} stream-chunks/s")
+    except Exception as exc:  # pragma: no cover
+        log(f"streaming bench skipped: {exc}")
+
     baseline_rate_per_chip = 2400.0 / 10.0 / 8.0  # north star: 2400 in 10s on 8 chips
     extra = {
         "accuracy_closed_loop": round(e2e_acc, 4),
@@ -225,6 +271,7 @@ def main() -> None:
     }
     if cold_rate is not None:
         extra["cold_utt_per_sec_per_chip"] = round(cold_rate / n_chips, 2)
+    extra.update(streaming_extra)
     print(json.dumps({
         "metric": "utterances_per_sec_per_chip_e2e",
         "value": round(rate_per_chip, 2),

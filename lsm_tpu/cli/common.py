@@ -68,6 +68,17 @@ def honor_jax_platforms_env() -> None:
         )
 
 
+def force_cpu_devices(n: int) -> None:
+    """Force the CPU backend with `n` virtual devices (mesh verification
+    without a multi-chip slice). Must run before any backend use — same
+    ordering contract as honor_jax_platforms_env; shared by the bench
+    tools' --cpu-devices flags so the override cannot drift."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n)
+
+
 def setup_logging(verbose: bool = True) -> None:
     """CLI process setup: stdout logging, the JAX_PLATFORMS env contract,
     and the persistent compile cache (every entry point calls this first,

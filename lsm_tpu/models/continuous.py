@@ -131,6 +131,12 @@ class ContinuousKWS:
                 f"chunk_len {chunk_len} must be a multiple of the "
                 f"featurizer hop ({hop} samples)"
             )
+        if nwin < hop:
+            raise ValueError(
+                f"gammatone window ({nwin} samples) must be >= the hop "
+                f"({hop}): with gaps between windows the energy-tail "
+                "carry has no meaning"
+            )
         g = math.gcd(hop, nwin)
         self.params = params
         self.readout = readout
@@ -249,7 +255,11 @@ class ContinuousKWS:
             )
             if redundancy > 1:
                 spikes = jnp.repeat(spikes, redundancy, axis=-2)
-            return spikes, iir, all_e[-tail:], hyst, hi[-1], lo[-1]
+            # Explicit start index: `all_e[-tail:]` would return the WHOLE
+            # buffer at tail == 0 (window == hop), growing the carried
+            # state every step.
+            new_tail = all_e[all_e.shape[0] - tail:]
+            return spikes, iir, new_tail, hyst, hi[-1], lo[-1]
 
         def _reservoir_chunk(p, spikes, st: ContinuousState):
             """(B, C, T_c) spikes + carried state -> (v, refrac, s_prev,
@@ -511,6 +521,8 @@ def fit_continuous_readout(
     num_classes: int,
     feature_set: str = "original",
     chunk_len: int = 1600,
+    norm_decay_db_per_bin: float = 0.1,
+    mesh: Optional[Mesh] = None,
     l2_c: float = 1.0,
     max_iter: int = 1000,
     tol: float = 1e-4,
@@ -539,9 +551,13 @@ def fit_continuous_readout(
     dummy_sc = scaler.ScalerState(
         mean=jnp.zeros((d,), jnp.float32), scale=jnp.ones((d,), jnp.float32)
     )
+    # Forward every knob that shapes the feature distribution: calibrating
+    # at one normalization decay and serving at another re-introduces the
+    # distribution-shift loss the matched protocol exists to remove.
     kws = ContinuousKWS(
         params, dummy_ro, dummy_sc, fcfg, feature_set,
         n_streams=n, chunk_len=chunk_len,
+        norm_decay_db_per_bin=norm_decay_db_per_bin, mesh=mesh,
     )
     prev = np.roll(audio, 1, axis=0)
     for c in range(n_chunks):

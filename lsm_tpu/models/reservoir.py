@@ -345,11 +345,13 @@ def stats_from_raster(
     tests/test_continuous.py) — but with no sequential scan: the only
     order-dependent quantity, each spike's previous-spike time, is an
     associative cummax of (t if spike else -1) shifted by one step; every
-    other statistic is a weighted reduction over T. This is the evaluation
-    path of continuous-mode streaming (models/continuous.py), where the
-    raster ring is cheap VPU state and re-deriving window stats per hop
-    costs O(B*T*no) elementwise work instead of re-running the O(B*N*N*T)
-    LIF recurrence.
+    other statistic is a weighted reduction over T. Used two ways: as
+    segment_summary's engine over one SHORT chunk (T = ~40) on the
+    continuous mode's XLA fallback path, and as the exactness oracle for
+    both the fold (fold_segment_stats) and the fused chunk kernel. It is
+    deliberately NOT applied to a full trailing window per hop — that
+    O(B*T_win*no) HBM-bound pass measured slower than the exact mode it
+    was meant to beat (models/continuous.py module docstring).
     """
     B, T, no = raster.shape
     sof = raster.astype(jnp.float32)                     # (B, T, no)

@@ -109,7 +109,12 @@ def _featurize(
 
 def _check_spikes_host(spikes: np.ndarray, context: str) -> None:
     """--check invariant: spike trains are strictly 0/1 (the contract the
-    bit-packed D2H transfer and the reservoir drive both assume)."""
+    bit-packed D2H transfer and the reservoir drive both assume).
+
+    Callers MUST pass the raw device featurizer output, BEFORE
+    _spikes_to_host: the pack/unpackbits round-trip can only produce 0/1,
+    so validating after it would be vacuous — a featurizer bug emitting a
+    2 would be aliased into wrong bit patterns instead of caught."""
     bad = (spikes != 0) & (spikes != 1)
     if bad.any():
         raise RuntimeError(
@@ -253,12 +258,14 @@ def create_spike_dataset(
             if audio.shape[0] == 0:
                 continue
             padded, n_real = _pad_batch(audio, bs)
-            spikes = _featurize(
+            spikes_dev = _featurize(
                 _place_batch(padded, mesh), fcfg, mesh, check=cfg.check
             )
-            spikes = _spikes_to_host(spikes, n_real)
             if cfg.check:
-                _check_spikes_host(spikes, "create_spike_dataset")
+                _check_spikes_host(
+                    np.asarray(spikes_dev[:n_real]), "create_spike_dataset"
+                )
+            spikes = _spikes_to_host(spikes_dev, n_real)
             labels = idx.labels[start:stop][kept]
             n_total += n_real
             if writer is not None:
@@ -313,13 +320,14 @@ def featurize_audio_array(
     out = []
     for start, stop in _batched(audio.shape[0], bs):
         padded, n_real = _pad_batch(audio[start:stop], bs)
-        spikes = _featurize(
+        spikes_dev = _featurize(
             _place_batch(padded, mesh), cfg.frontend, mesh, check=cfg.check
         )
-        host = _spikes_to_host(spikes, n_real)
         if cfg.check:
-            _check_spikes_host(host, "featurize_audio_array")
-        out.append(host)
+            _check_spikes_host(
+                np.asarray(spikes_dev[:n_real]), "featurize_audio_array"
+            )
+        out.append(_spikes_to_host(spikes_dev, n_real))
     return np.concatenate(out, axis=0)
 
 

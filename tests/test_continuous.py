@@ -72,8 +72,7 @@ def test_stats_from_raster_bit_equal_to_accumulator_loop(rng):
     assert set(vec) == set(st)
     for k in st:
         a, b = np.asarray(st[k]), np.asarray(vec[k])
-        if k == "win_counts":
-            b = np.moveaxis(b, 1, 1)  # both (B, no, n_win)
+        assert a.shape == b.shape, (k, a.shape, b.shape)
         np.testing.assert_array_equal(a, b, err_msg=k)
 
 
@@ -303,6 +302,42 @@ def test_continuous_matched_readout_learns_hard_benchmark():
         out = kws.step(x_test[:, c * 1600:(c + 1) * 1600])
     acc = float((np.argmax(out, axis=-1) == y_test).mean())
     assert acc > 0.4, f"continuous matched accuracy {acc} near chance (1/12)"
+
+
+def test_continuous_window_equals_hop_is_stable(rng):
+    """tail == 0 (gt window == hop): the energy-tail carry must stay empty
+    instead of growing the state every step (`all_e[-0:]` returns the
+    whole buffer — the bug this pins), and window < hop is rejected."""
+    fcfg = FrontendConfig(
+        n_filters=16, filterbank="gammatone", gt_window_time=0.01
+    )
+    rcfg = ReservoirConfig(
+        num_neurons=128, num_output_neurons=64, small_world_k=16,
+        mean_weight=0.03,
+    )
+    params = res.init_reservoir(rcfg, n_channels=16)
+    d = 5 * 64
+    ro = logistic.LogisticParams(
+        w=jnp.zeros((d, 4), jnp.float32), b=jnp.zeros((4,), jnp.float32)
+    )
+    sc = scaler.ScalerState(
+        mean=jnp.zeros((d,), jnp.float32), scale=jnp.ones((d,), jnp.float32)
+    )
+    kws = ContinuousKWS(params, ro, sc, fcfg, n_streams=1)
+    assert kws.state.tail.shape[0] == 0
+    for _ in range(3):
+        out = kws.step(
+            (rng.standard_normal((1, 1600)) * 0.3).astype(np.float32)
+        )
+        assert np.isfinite(out).all()
+        assert kws.state.tail.shape[0] == 0     # carry must not grow
+
+    with pytest.raises(ValueError, match="must be >="):
+        ContinuousKWS(
+            params, ro, sc,
+            FrontendConfig(n_filters=16, filterbank="gammatone",
+                           gt_window_time=0.005),
+        )
 
 
 def test_continuous_mesh_matches_single_device(rng):

@@ -54,10 +54,9 @@ def main() -> None:
 
     honor_jax_platforms_env()
     if args.cpu_devices:
-        import jax as _jax
+        from lsm_tpu.cli.common import force_cpu_devices
 
-        _jax.config.update("jax_platforms", "cpu")
-        _jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+        force_cpu_devices(args.cpu_devices)
     enable_compile_cache()
 
     import numpy as np
@@ -94,7 +93,6 @@ def main() -> None:
     # The batch split and the audio split use the same seed + stratify, so
     # x_test here is the raw audio of the same held-out utterances.
     n_test = len(y_test)
-    exact_preds = None
     # Exact predictions for the agreement metric: classify the test spikes
     # through the trained readout (identical to StreamingKWS on the window).
     import jax.numpy as jnp

@@ -43,10 +43,9 @@ def main() -> None:
 
     honor_jax_platforms_env()
     if args.cpu_devices:
-        import jax
+        from lsm_tpu.cli.common import force_cpu_devices
 
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+        force_cpu_devices(args.cpu_devices)
     enable_compile_cache()
 
     import numpy as np
