@@ -48,6 +48,15 @@ def main() -> None:
     except FileNotFoundError as e:
         print(f"Error: {e}", file=sys.stderr)
         sys.exit(1)
+    if bundle.feature_mode != "batch":
+        print(
+            "Error: this bundle is calibrated for continuous-mode streaming "
+            "features; batch classification would mismatch its readout. "
+            "Serve it with stream_kws.py --mode continuous, or use the "
+            "original batch bundle.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
     mesh = mesh_from_args(args)
     cfg = PipelineConfig(
         frontend=bundle.frontend,

@@ -42,6 +42,13 @@ class ModelBundle(NamedTuple):
     frontend: FrontendConfig
     feature_set: str
     class_names: tuple
+    # Which feature DISTRIBUTION the readout+scaler were calibrated on:
+    # "batch" (the pipeline's exact windowed features — also what the
+    # exact streaming mode serves) or "continuous" (ContinuousKWS
+    # carried-state features, fit via continuous.fit_continuous_readout).
+    # Serving continuous mode with a batch-calibrated readout loses ~0.3
+    # accuracy (docs/VALIDATION.md) — stream_kws.py enforces the match.
+    feature_mode: str = "batch"
 
 
 def save_model(
@@ -52,6 +59,7 @@ def save_model(
     frontend: FrontendConfig,
     feature_set: str,
     class_names: Sequence[str],
+    feature_mode: str = "batch",
 ) -> None:
     from lsm_tpu.models.sparse import SparseReservoirParams
 
@@ -74,8 +82,11 @@ def save_model(
         )
     else:
         weights = dict(w_rec=np.asarray(reservoir.w_rec))
+    if feature_mode not in ("batch", "continuous"):
+        raise ValueError(f"unknown feature_mode: {feature_mode!r}")
     meta = {
         "format": _FORMAT_SPARSE if is_sparse else _FORMAT_DENSE,
+        "feature_mode": feature_mode,
         "feature_set": feature_set,
         "class_names": list(class_names),
         "frontend": dataclasses.asdict(frontend),
@@ -144,4 +155,5 @@ def load_model(path: Path) -> ModelBundle:
         frontend=FrontendConfig(**fdict),
         feature_set=meta["feature_set"],
         class_names=tuple(meta["class_names"]),
+        feature_mode=meta.get("feature_mode", "batch"),
     )

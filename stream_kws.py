@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Streaming keyword-spotting CLI: serve WAVs as parallel real-time streams.
+
+EXTENSION beyond the reference (which has no streaming or serving mode at
+all; BASELINE configs[4]): load a trained bundle and drive the streaming
+engines the way a deployment would — every input WAV becomes one parallel
+stream, audio is fed in fixed chunks (default 100 ms), and each chunk is
+ONE fused device dispatch over all streams.
+
+Two engines:
+  --mode exact       sliding-window recompute (models/streaming.py):
+                     every hop's prediction is bit-identical to the batch
+                     pipeline on the same trailing window; works with any
+                     `main.py --save-model` bundle.
+  --mode continuous  state-carrying mode (models/continuous.py): ~2x the
+                     per-chip stream capacity; REQUIRES a bundle
+                     calibrated on continuous features
+                     (tools/calibrate_continuous.py) — enforced, because
+                     a batch-calibrated readout loses ~0.3 accuracy in
+                     this mode (docs/VALIDATION.md).
+
+With >1 device the stream axis shards over the mesh data axis
+(per-chip capacity x N chips; `--single-device` opts out).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from lsm_tpu.cli.common import setup_logging
+from lsm_tpu.io import model as model_io
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Serve WAVs as parallel keyword-spotting streams."
+    )
+    parser.add_argument("--model", type=str, default=model_io.MODEL_FILENAME)
+    parser.add_argument("--data-dir", type=str, required=True,
+                        help="Directory of WAVs (recursed); each file is "
+                             "one stream. Class-named parent dirs provide "
+                             "labels for the accuracy line.")
+    parser.add_argument("--mode", type=str, default=None,
+                        choices=["exact", "continuous"],
+                        help="Default: the bundle's feature_mode.")
+    parser.add_argument("--chunk-ms", type=int, default=100)
+    parser.add_argument("--max-streams", type=int, default=1024)
+    parser.add_argument("--output", type=str, default="stream_predictions.npz")
+    parser.add_argument("--per-chunk", action="store_true",
+                        help="Print the running prediction after every "
+                             "chunk (default: final prediction per stream).")
+    parser.add_argument("--single-device", action="store_true")
+    args = parser.parse_args()
+    setup_logging()
+
+    try:
+        bundle = model_io.load_model(Path(args.model))
+    except (FileNotFoundError, ValueError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        sys.exit(1)
+
+    mode = args.mode or (
+        "continuous" if bundle.feature_mode == "continuous" else "exact"
+    )
+    if mode == "continuous" and bundle.feature_mode != "continuous":
+        print(
+            "Error: --mode continuous needs a continuous-calibrated bundle "
+            "(this one is feature_mode='batch' — its readout loses ~0.3 "
+            "accuracy on continuous features). Re-calibrate with "
+            "tools/calibrate_continuous.py.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    if mode == "exact" and bundle.feature_mode == "continuous":
+        print(
+            "Error: this bundle is calibrated for continuous-mode features; "
+            "use --mode continuous (or an exact/batch bundle).",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    from lsm_tpu.io.wav import load_audio_batch
+    from lsm_tpu.parallel import mesh as meshlib
+
+    fcfg = bundle.frontend
+    files = sorted(Path(args.data_dir).rglob("*.wav"))[: args.max_streams]
+    if not files:
+        print(f"Error: no WAVs under '{args.data_dir}'.", file=sys.stderr)
+        sys.exit(1)
+    audio, kept, errors = load_audio_batch(
+        files, fcfg.sample_rate, fcfg.duration
+    )
+    for path, err in errors:
+        print(f"Error loading {path}: {err}", file=sys.stderr)
+    files = [files[i] for i in kept]
+    n_streams = audio.shape[0]
+
+    mesh = None if args.single_device else meshlib.auto_mesh()
+    if mesh is not None:
+        n_data = mesh.shape[meshlib.DATA_AXIS]
+        audio, n_real = meshlib.pad_to_multiple(audio, n_data)
+        n_streams = audio.shape[0]
+    else:
+        n_real = n_streams
+
+    chunk_len = fcfg.sample_rate * args.chunk_ms // 1000
+    n_chunks = audio.shape[1] // chunk_len
+
+    if mode == "continuous":
+        from lsm_tpu.models.continuous import ContinuousKWS
+
+        kws = ContinuousKWS(
+            bundle.reservoir, bundle.readout, bundle.scaler, fcfg,
+            bundle.feature_set, n_streams=n_streams,
+            chunk_len=chunk_len, mesh=mesh,
+        )
+    else:
+        from lsm_tpu.models.streaming import StreamingKWS
+
+        kws = StreamingKWS(
+            bundle.reservoir, bundle.readout, bundle.scaler, fcfg,
+            bundle.feature_set, n_streams=n_streams, mesh=mesh,
+        )
+
+    names = list(bundle.class_names)
+    print(f"Serving {n_real} streams in {mode} mode "
+          f"({args.chunk_ms} ms chunks, {n_chunks} chunks"
+          f"{', mesh x' + str(mesh.shape[meshlib.DATA_AXIS]) if mesh else ''})")
+    if mode == "continuous":
+        # Continuous mode is calibrated for ALWAYS-ON streams (carried
+        # state); a file-per-stream demo starts cold, so pre-roll each
+        # stream with its neighbor's audio — the same carried-state
+        # protocol fit_continuous_readout trains on. A real deployment
+        # simply keeps feeding the live stream and needs no pre-roll
+        # (only the stream's very first second is warmup).
+        preroll = np.roll(audio, 1, axis=0)
+        for c in range(n_chunks):
+            kws.step(preroll[:, c * chunk_len:(c + 1) * chunk_len])
+    logits = None
+    for c in range(n_chunks):
+        logits = kws.step(audio[:, c * chunk_len:(c + 1) * chunk_len])
+        if args.per_chunk:
+            preds = np.argmax(logits[:n_real], axis=-1)
+            head = " ".join(names[p] for p in preds[:8])
+            print(f"  chunk {c + 1:3d}/{n_chunks}: {head}"
+                  f"{' ...' if n_real > 8 else ''}")
+    preds = np.argmax(logits[:n_real], axis=-1)
+
+    # Labels from class-named parent directories, where they match.
+    class_idx = {c: i for i, c in enumerate(names)}
+    labels = np.asarray(
+        [class_idx.get(f.parent.name, -1) for f in files], np.int32
+    )
+    np.savez_compressed(
+        Path(args.output),
+        predictions=preds.astype(np.int32),
+        labels=labels,
+        files=np.asarray([str(f) for f in files]),
+        class_names=np.asarray(names),
+    )
+    print(f"Final predictions for {n_real} streams -> '{args.output}'")
+    counts = np.bincount(preds, minlength=len(names))
+    for name, cnt in zip(names, counts):
+        if cnt:
+            print(f"  {name:>10s}: {cnt}")
+    known = labels >= 0
+    if known.any():
+        acc = float((preds[known] == labels[known]).mean())
+        print(f"Accuracy vs directory labels ({int(known.sum())} streams): "
+              f"{acc * 100:.2f}%")
+
+
+if __name__ == "__main__":
+    main()

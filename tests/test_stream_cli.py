@@ -1,0 +1,104 @@
+"""Streaming serving CLI (stream_kws.py + tools/calibrate_continuous.py):
+train a bundle, calibrate it for continuous mode, and serve a WAV
+directory as parallel streams in both engines — the full deployment path
+for BASELINE configs[4]'s streaming KWS mode."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, *args], cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=420,
+    )
+
+
+@pytest.mark.slow
+def test_stream_kws_cli_end_to_end(tmp_path):
+    from lsm_tpu.io.dataset import write_synthetic_corpus
+
+    # Subset of the reference vocabulary: main.py indexes cfg.commands and
+    # skips missing class dirs, so a 4-class corpus trains a 12-class
+    # readout over classes 0-3.
+    classes = ("yes", "no", "up", "visual")
+    corpus = tmp_path / "corpus"
+    write_synthetic_corpus(corpus, classes, n_per_class=8)
+
+    small = ["--num-neurons", "256", "--num-output-neurons", "128",
+             "--batch-size", "32", "--n-filters", "32",
+             "--samples-per-class", "8"]
+    r = _run(
+        [str(REPO / "main.py"), "--data-dir", str(corpus), *small,
+         "--save-model", "m.npz"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "m.npz").exists()
+
+    # Continuous calibration produces a feature_mode-tagged bundle.
+    r = _run(
+        [str(REPO / "tools" / "calibrate_continuous.py"),
+         "--model", "m.npz", "--out", "mc.npz",
+         "--data-dir", str(corpus), "--samples-per-class", "8"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    from lsm_tpu.io import model as model_io
+
+    assert model_io.load_model(tmp_path / "mc.npz").feature_mode == "continuous"
+
+    # Exact-mode serving: predictions + accuracy line. The trailing window
+    # after the last chunk IS the batch window, so accuracy on the training
+    # corpus should be near the pipeline's (synthetic corpus: ~1.0).
+    r = _run(
+        [str(REPO / "stream_kws.py"), "--model", "m.npz",
+         "--data-dir", str(corpus), "--single-device"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "exact mode" in r.stdout
+    assert "Accuracy vs directory labels" in r.stdout
+    out = np.load(tmp_path / "stream_predictions.npz", allow_pickle=False)
+    assert len(out["predictions"]) == 32
+    acc = float((out["predictions"] == out["labels"]).mean())
+    assert acc > 0.8, acc
+
+    # Continuous serving with the calibrated bundle.
+    r = _run(
+        [str(REPO / "stream_kws.py"), "--model", "mc.npz",
+         "--data-dir", str(corpus), "--mode", "continuous",
+         "--single-device", "--output", "cont.npz"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "continuous mode" in r.stdout
+    cont = np.load(tmp_path / "cont.npz", allow_pickle=False)
+    acc_c = float((cont["predictions"] == cont["labels"]).mean())
+    assert acc_c > 0.6, acc_c
+
+    # Guard: a batch bundle cannot serve continuous mode (and vice versa).
+    r = _run(
+        [str(REPO / "stream_kws.py"), "--model", "m.npz",
+         "--data-dir", str(corpus), "--mode", "continuous",
+         "--single-device"],
+        tmp_path,
+    )
+    assert r.returncode == 1
+    assert "calibrate_continuous" in r.stderr
+    r = _run(
+        [str(REPO / "stream_kws.py"), "--model", "mc.npz",
+         "--data-dir", str(corpus), "--mode", "exact", "--single-device"],
+        tmp_path,
+    )
+    assert r.returncode == 1
