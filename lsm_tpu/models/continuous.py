@@ -99,11 +99,16 @@ class ContinuousKWS:
     contract is measured in the carried-state condition
     (tools/bench_continuous.py). Gammatone frontend only — the mel path
     is windowed-FFT-based and has no O(hop) incremental form.
+
+    Accepts dense ReservoirParams (fused Pallas chunk kernel on TPU) or
+    block-sparse SparseReservoirParams (scaled reservoirs; XLA
+    sparse-gather chunk scan, bit-equal to the densified dense path on
+    dyadic weights — tests/test_continuous.py).
     """
 
     def __init__(
         self,
-        params: res.ReservoirParams,
+        params,
         readout: logistic.LogisticParams,
         scaler_state: scaler.ScalerState,
         fcfg: FrontendConfig,
@@ -118,10 +123,11 @@ class ContinuousKWS:
                 "continuous mode requires the gammatone frontend "
                 f"(got {fcfg.filterbank!r})"
             )
-        if not isinstance(params, res.ReservoirParams):
-            raise TypeError(
-                "continuous mode supports dense ReservoirParams only"
-            )
+        from lsm_tpu.models.sparse import SparseReservoirParams
+
+        if not isinstance(params, (res.ReservoirParams, SparseReservoirParams)):
+            raise TypeError(f"unsupported reservoir params: {type(params)}")
+        is_sparse = isinstance(params, SparseReservoirParams)
         hop_time = fcfg.num_samples / (fcfg.sample_rate * fcfg.time_bins)
         nwin, hop, _ = gt.gtgram_strides(
             fcfg.sample_rate, fcfg.gt_window_time, hop_time, fcfg.num_samples
@@ -176,7 +182,10 @@ class ContinuousKWS:
         gap = fcfg.hysteresis_gap
         keys = self.keys
         no = params.n_outputs
-        n_pad = params.w_rec.shape[0]
+        # Carried-state width: the padded dense width, or the (already
+        # 128-aligned) sparse neuron count.
+        n_state = params.n_neurons if is_sparse else params.w_rec.shape[0]
+        self._n_state = n_state
         c_pad = params.w_in.shape[0]
         n_cols = chunk_len // hop
         w_per, h_per, tail, d = self._w_per, self._h_per, self._tail, self._decay
@@ -274,31 +283,46 @@ class ContinuousKWS:
             if Cs != c_pad:
                 spikes = jnp.pad(spikes, ((0, 0), (0, c_pad - Cs), (0, 0)))
 
-            from lsm_tpu.ops.pallas.lif_chunk_kernel import (
-                chunk_kernel_ok,
-                simulate_chunk_pallas,
-            )
-
-            if chunk_kernel_ok(p, T_c):
-                v, refrac_f, s_prev, seg, win_new = simulate_chunk_pallas(
-                    p, spikes, st.v, st.refrac.astype(jnp.float32),
-                    st.s_prev, win_len, n_new_win,
+            if not is_sparse:
+                from lsm_tpu.ops.pallas.lif_chunk_kernel import (
+                    chunk_kernel_ok,
+                    simulate_chunk_pallas,
                 )
-                return v, refrac_f.astype(jnp.int32), s_prev, seg, win_new
+
+                if chunk_kernel_ok(p, T_c):
+                    v, refrac_f, s_prev, seg, win_new = simulate_chunk_pallas(
+                        p, spikes, st.v, st.refrac.astype(jnp.float32),
+                        st.s_prev, win_len, n_new_win,
+                    )
+                    return v, refrac_f.astype(jnp.int32), s_prev, seg, win_new
 
             x = spikes.astype(jnp.float32)
             xs_t = jnp.moveaxis(x, -1, 0)                 # (T_c, B, c_pad)
-            w_rec = p.w_rec.astype(jnp.bfloat16)
             w_in = p.w_in.astype(jnp.bfloat16)
             leak_keep = 1.0 - p.leak
+            if is_sparse:
+                from lsm_tpu.models.sparse import sparse_drive
+
+                w_blocks = p.w_blocks.astype(jnp.bfloat16)
+
+                def recur(s_prev):
+                    return sparse_drive(
+                        s_prev, w_blocks, p.src_idx, jnp.bfloat16
+                    )
+            else:
+                w_rec = p.w_rec.astype(jnp.bfloat16)
+
+                def recur(s_prev):
+                    return jnp.dot(
+                        s_prev.astype(jnp.bfloat16), w_rec,
+                        preferred_element_type=jnp.float32,
+                    )
 
             def step(carry, x_t):
                 v, refrac, s_prev = carry
-                drive = (
-                    jnp.dot(s_prev.astype(jnp.bfloat16), w_rec,
-                            preferred_element_type=jnp.float32)
-                    + jnp.dot(x_t.astype(jnp.bfloat16), w_in,
-                              preferred_element_type=jnp.float32)
+                drive = recur(s_prev) + jnp.dot(
+                    x_t.astype(jnp.bfloat16), w_in,
+                    preferred_element_type=jnp.float32,
                 )
                 v_new, refrac_new, spike = res.lif_update(
                     v, refrac, drive, leak_keep, p.threshold, p.refractory
@@ -353,17 +377,21 @@ class ContinuousKWS:
         if mesh is None:
             self._step = jax.jit(_step_local, donate_argnums=(1,))
         else:
+            names = (
+                ("w_blocks", "src_idx", "w_in", "leak")
+                if is_sparse else ("w_rec", "w_in", "leak")
+            )
             state_specs = self._state_pspec()
             sm = shard_map(
                 lambda p_arrs, st, chunk, w, b, mean, scale: _step_local(
                     dataclasses.replace(
-                        params, **dict(zip(("w_rec", "w_in", "leak"), p_arrs))
+                        params, **dict(zip(names, p_arrs))
                     ),
                     st, chunk, w, b, mean, scale,
                 ),
                 mesh=mesh,
                 in_specs=(
-                    (P(), P(), P()),
+                    (P(),) * len(names),
                     state_specs,
                     P(DATA_AXIS, None),
                     P(), P(), P(), P(),
@@ -373,8 +401,8 @@ class ContinuousKWS:
             )
 
             def _mesh_step(p, st, chunk, w, b, mean, scale):
-                return sm((p.w_rec, p.w_in, p.leak), st, chunk,
-                          w, b, mean, scale)
+                return sm(tuple(getattr(p, nm) for nm in names),
+                          st, chunk, w, b, mean, scale)
 
             self._step = jax.jit(_mesh_step, donate_argnums=(1,))
 
@@ -415,7 +443,7 @@ class ContinuousKWS:
 
     def _init_state(self, B: int) -> ContinuousState:
         C = self.fcfg.n_filters
-        n_pad = self.params.w_rec.shape[0]
+        n_pad = self._n_state
         no = self.params.n_outputs
         st = ContinuousState(
             iir=jnp.zeros((B, 8, C), jnp.float32),
@@ -514,7 +542,7 @@ class ContinuousKWS:
 
 
 def fit_continuous_readout(
-    params: res.ReservoirParams,
+    params,                       # ReservoirParams | SparseReservoirParams
     fcfg: FrontendConfig,
     audio: np.ndarray,            # (N, num_samples) f32 training utterances
     labels: np.ndarray,           # (N,) int32

@@ -304,6 +304,49 @@ def test_continuous_matched_readout_learns_hard_benchmark():
     assert acc > 0.4, f"continuous matched accuracy {acc} near chance (1/12)"
 
 
+def test_continuous_sparse_matches_densified_dense(rng):
+    """Block-sparse continuous streaming == dense continuous streaming on
+    densify(params), bit-equal under dyadic-quantized weights (the same
+    exactness anchor the batch sparse path uses) — logits AND carried
+    state, across several chunks."""
+    import dataclasses as dc
+
+    from lsm_tpu.models import sparse
+
+    rcfg = ReservoirConfig(
+        num_neurons=256, num_output_neurons=128, small_world_k=52,
+        mean_weight=0.02, input_fanout=6, sparse=True,
+    )
+    sp = sparse.init_reservoir_sparse(rcfg, n_channels=16)
+    q = lambda a: jnp.round(jnp.asarray(a) * 256.0) / 256.0
+    sp = dc.replace(
+        sp, w_blocks=q(sp.w_blocks), w_in=q(sp.w_in),
+        leak=jnp.zeros_like(sp.leak),
+    )
+    dn = sparse.densify(sp)
+
+    fcfg = FrontendConfig(n_filters=16, filterbank="gammatone")
+    d = 5 * 128
+    ro = logistic.LogisticParams(
+        w=jnp.asarray(
+            np.random.default_rng(0).normal(0, 0.1, (d, 4)).astype(np.float32)
+        ),
+        b=jnp.zeros((4,), jnp.float32),
+    )
+    sc = scaler.ScalerState(
+        mean=jnp.zeros((d,), jnp.float32), scale=jnp.ones((d,), jnp.float32)
+    )
+    ks = ContinuousKWS(sp, ro, sc, fcfg, n_streams=2)
+    kd = ContinuousKWS(dn, ro, sc, fcfg, n_streams=2)
+    for _ in range(3):
+        chunk = (rng.standard_normal((2, 1600)) * 0.3).astype(np.float32)
+        np.testing.assert_array_equal(ks.step(chunk), kd.step(chunk))
+    np.testing.assert_array_equal(
+        np.asarray(ks.state.v), np.asarray(kd.state.v)[:, :256]
+    )
+    np.testing.assert_array_equal(ks.features(), kd.features())
+
+
 def test_continuous_window_equals_hop_is_stable(rng):
     """tail == 0 (gt window == hop): the energy-tail carry must stay empty
     instead of growing the state every step (`all_e[-0:]` returns the
