@@ -295,6 +295,21 @@ class ContinuousKWS:
                         st.s_prev, win_len, n_new_win,
                     )
                     return v, refrac_f.astype(jnp.int32), s_prev, seg, win_new
+            else:
+                from lsm_tpu.ops.pallas.sparse_lif_chunk_kernel import (
+                    pick_chunk_b_tile,
+                    simulate_chunk_sparse_pallas,
+                )
+
+                if pick_chunk_b_tile(p, T_c, c_pad, batch=B):
+                    v, refrac_f, s_prev, seg, win_new = (
+                        simulate_chunk_sparse_pallas(
+                            p, spikes, st.v, st.refrac.astype(jnp.float32),
+                            st.s_prev, win_len, n_new_win,
+                        )
+                    )
+                    return (v, refrac_f.astype(jnp.int32), s_prev, seg,
+                            win_new)
 
             x = spikes.astype(jnp.float32)
             xs_t = jnp.moveaxis(x, -1, 0)                 # (T_c, B, c_pad)
