@@ -234,11 +234,14 @@ def main() -> None:
         sc = ScalerState(mean=jnp.zeros((d,), jnp.float32),
                          scale=jnp.ones((d,), jnp.float32))
         rng_s = np.random.default_rng(0)
-        chunk = jnp.asarray(
-            (rng_s.standard_normal((ns, chunk_len)) * 0.1).astype(np.float32)
+        chunk_np = (rng_s.standard_normal((ns, chunk_len)) * 0.1).astype(
+            np.float32
         )
-        if mesh is not None:
-            chunk = meshlib.shard_batch(np.asarray(chunk), mesh)
+        chunk = (
+            meshlib.shard_batch(chunk_np, mesh)
+            if mesh is not None else jnp.asarray(chunk_np)
+        )
+        chunk.block_until_ready()
         for name, kws in (
             ("streaming_exact", StreamingKWS(
                 params, readout, sc, fcfg, n_streams=ns, mesh=mesh)),
@@ -256,8 +259,15 @@ def main() -> None:
             streaming_extra[f"{name}_chunks_per_sec_per_chip"] = round(
                 ns / med / n_chips, 1
             )
+            # One dispatch per step: subtract the measured relay floor so
+            # sessions compare device rates, not tunnel drift (CLAUDE.md
+            # timing methodology — same as device_only_utt_per_sec).
+            streaming_extra[f"{name}_device_only_chunks_per_sec_per_chip"] = (
+                round(ns / max(med - floor, 1e-9) / n_chips, 1)
+            )
             log(f"{name}: {ns} streams, median {med * 1e3:.1f} ms/step "
-                f"-> {ns / med:,.0f} stream-chunks/s")
+                f"-> {ns / med:,.0f} stream-chunks/s "
+                f"(device-only {ns / max(med - floor, 1e-9):,.0f})")
     except Exception as exc:  # pragma: no cover
         log(f"streaming bench skipped: {exc}")
 

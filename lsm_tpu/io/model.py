@@ -49,6 +49,12 @@ class ModelBundle(NamedTuple):
     # Serving continuous mode with a batch-calibrated readout loses ~0.3
     # accuracy (docs/VALIDATION.md) — stream_kws.py enforces the match.
     feature_mode: str = "batch"
+    # For feature_mode == "continuous": the knobs that shape the feature
+    # distribution the readout was calibrated on (chunk_len,
+    # norm_decay_db_per_bin). Serving MUST reuse them — a different
+    # decay/chunk at serve time silently re-introduces the calibration
+    # mismatch — so stream_kws.py reads them from here.
+    continuous_params: dict = {}
 
 
 def save_model(
@@ -60,6 +66,7 @@ def save_model(
     feature_set: str,
     class_names: Sequence[str],
     feature_mode: str = "batch",
+    continuous_params: dict | None = None,
 ) -> None:
     from lsm_tpu.models.sparse import SparseReservoirParams
 
@@ -84,9 +91,15 @@ def save_model(
         weights = dict(w_rec=np.asarray(reservoir.w_rec))
     if feature_mode not in ("batch", "continuous"):
         raise ValueError(f"unknown feature_mode: {feature_mode!r}")
+    if feature_mode == "continuous" and not continuous_params:
+        raise ValueError(
+            "continuous bundles must record the calibration's "
+            "distribution-shaping knobs (chunk_len, norm_decay_db_per_bin)"
+        )
     meta = {
         "format": _FORMAT_SPARSE if is_sparse else _FORMAT_DENSE,
         "feature_mode": feature_mode,
+        "continuous_params": dict(continuous_params or {}),
         "feature_set": feature_set,
         "class_names": list(class_names),
         "frontend": dataclasses.asdict(frontend),
@@ -156,4 +169,5 @@ def load_model(path: Path) -> ModelBundle:
         feature_set=meta["feature_set"],
         class_names=tuple(meta["class_names"]),
         feature_mode=meta.get("feature_mode", "batch"),
+        continuous_params=meta.get("continuous_params", {}),
     )

@@ -100,10 +100,12 @@ class ContinuousKWS:
     (tools/bench_continuous.py). Gammatone frontend only — the mel path
     is windowed-FFT-based and has no O(hop) incremental form.
 
-    Accepts dense ReservoirParams (fused Pallas chunk kernel on TPU) or
-    block-sparse SparseReservoirParams (scaled reservoirs; XLA
-    sparse-gather chunk scan, bit-equal to the densified dense path on
-    dyadic weights — tests/test_continuous.py).
+    Accepts dense ReservoirParams or block-sparse SparseReservoirParams
+    (scaled reservoirs): each has a fused Pallas chunk kernel on TPU
+    (ops/pallas/{lif,sparse_lif}_chunk_kernel.py) with an XLA chunk scan
+    as fallback and bit-level exactness oracle (tests/test_continuous.py;
+    the sparse scan is additionally bit-equal to the densified dense
+    path on dyadic weights).
     """
 
     def __init__(
@@ -301,7 +303,8 @@ class ContinuousKWS:
                     simulate_chunk_sparse_pallas,
                 )
 
-                if pick_chunk_b_tile(p, T_c, c_pad, batch=B):
+                if pick_chunk_b_tile(p, T_c, c_pad, batch=B,
+                                     n_new_win=n_new_win):
                     v, refrac_f, s_prev, seg, win_new = (
                         simulate_chunk_sparse_pallas(
                             p, spikes, st.v, st.refrac.astype(jnp.float32),

@@ -141,7 +141,8 @@ def _sparse_chunk_kernel(
 
 
 def _vmem_estimate(
-    nb: int, S: int, c_pad: int, t: int, b_t: int, no_pad: int, grid: int
+    nb: int, S: int, c_pad: int, t: int, b_t: int, no_pad: int, grid: int,
+    n_new_win: int = 1,
 ) -> int:
     """Mosaic PIPELINES grid-varying blocks: with more than one batch tile
     every per-tile input/output block is double-buffered, so those terms
@@ -158,7 +159,7 @@ def _vmem_estimate(
     per_tile = (
         t * b_t * c_pad                     # xs uint8
         + 6 * nb * b_t * BLOCK * 4          # v/refrac/s in+out f32
-        + 10 * b_t * no_pad * 4             # stat outputs + win
+        + (9 + n_new_win) * b_t * no_pad * 4   # stat outputs + win planes
     )
     return invariant + mult * per_tile
 
@@ -166,6 +167,7 @@ def _vmem_estimate(
 def pick_chunk_b_tile(
     params: SparseReservoirParams, t_c: int, c_pad: int,
     batch: Optional[int] = None,
+    n_new_win: int = 1,
     vmem_budget: int = 120 * 1024 * 1024,
 ) -> Optional[int]:
     """Largest batch tile in {256, 128} whose kernel fits VMEM including
@@ -178,7 +180,9 @@ def pick_chunk_b_tile(
     no_pad = _round_up(min(params.n_outputs, params.n_neurons))
     for b_t in (256, 128):
         grid = 2 if batch is None else -(-batch // b_t)
-        if _vmem_estimate(nb, S, c_pad, t_c, b_t, no_pad, grid) < vmem_budget:
+        if _vmem_estimate(
+            nb, S, c_pad, t_c, b_t, no_pad, grid, n_new_win
+        ) < vmem_budget:
             return b_t
     return None
 
@@ -205,7 +209,8 @@ def simulate_chunk_sparse_pallas(
     n_out_blocks = no_pad // BLOCK
     assert T == win_len * n_new_win
     if b_tile is None:
-        b_tile = pick_chunk_b_tile(params, T, c_pad, batch=B)
+        b_tile = pick_chunk_b_tile(params, T, c_pad, batch=B,
+                                   n_new_win=n_new_win)
         if b_tile is None:
             raise ValueError("sparse reservoir too large for VMEM chunk kernel")
 

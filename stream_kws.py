@@ -108,7 +108,26 @@ def main() -> None:
         n_real = n_streams
 
     chunk_len = fcfg.sample_rate * args.chunk_ms // 1000
+    if mode == "continuous":
+        # The calibration's distribution-shaping knobs ride in the bundle
+        # and OVERRIDE the CLI: serving at a different chunk length or
+        # normalization decay than the readout was calibrated on silently
+        # re-introduces the ~0.3 accuracy mismatch the feature_mode tag
+        # exists to prevent.
+        cp = bundle.continuous_params
+        if cp.get("chunk_len") and cp["chunk_len"] != chunk_len:
+            print(
+                f"note: using the bundle's calibrated chunk length "
+                f"({cp['chunk_len']} samples) instead of --chunk-ms."
+            )
+            chunk_len = int(cp["chunk_len"])
     n_chunks = audio.shape[1] // chunk_len
+    if n_chunks == 0:
+        print(
+            f"Error: chunk length {chunk_len} samples exceeds the "
+            f"{audio.shape[1]}-sample analysis window.", file=sys.stderr,
+        )
+        sys.exit(1)
 
     if mode == "continuous":
         from lsm_tpu.models.continuous import ContinuousKWS
@@ -116,7 +135,11 @@ def main() -> None:
         kws = ContinuousKWS(
             bundle.reservoir, bundle.readout, bundle.scaler, fcfg,
             bundle.feature_set, n_streams=n_streams,
-            chunk_len=chunk_len, mesh=mesh,
+            chunk_len=chunk_len,
+            norm_decay_db_per_bin=float(
+                bundle.continuous_params.get("norm_decay_db_per_bin", 0.1)
+            ),
+            mesh=mesh,
         )
     else:
         from lsm_tpu.models.streaming import StreamingKWS

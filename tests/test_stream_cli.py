@@ -56,7 +56,12 @@ def test_stream_kws_cli_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     from lsm_tpu.io import model as model_io
 
-    assert model_io.load_model(tmp_path / "mc.npz").feature_mode == "continuous"
+    mc = model_io.load_model(tmp_path / "mc.npz")
+    assert mc.feature_mode == "continuous"
+    # The calibration's distribution-shaping knobs ride in the bundle so
+    # serving cannot silently mismatch them.
+    assert mc.continuous_params["chunk_len"] == 1600
+    assert mc.continuous_params["norm_decay_db_per_bin"] == 0.1
 
     # Exact-mode serving: predictions + accuracy line. The trailing window
     # after the last chunk IS the batch window, so accuracy on the training

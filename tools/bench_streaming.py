@@ -37,6 +37,17 @@ def main() -> None:
     parser.add_argument("--cpu-devices", type=int, default=None,
                         help="Force CPU with N virtual devices (mesh "
                              "verification without a multi-chip slice).")
+    parser.add_argument("--num-neurons", type=int, default=1000)
+    parser.add_argument("--sparse", action="store_true",
+                        help="Block-sparse reservoir (scaled configs; "
+                             "requires --num-neurons % 128 == 0).")
+    parser.add_argument("--continuous", action="store_true",
+                        help="Bench ContinuousKWS (state-carrying mode) "
+                             "instead of the exact sliding-window mode.")
+    parser.add_argument("--device-resident", action="store_true",
+                        help="Pre-place chunks on device: excludes the "
+                             "per-step H2D, which dominates through the "
+                             "relay at high stream counts.")
     args = parser.parse_args()
 
     from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
@@ -59,8 +70,19 @@ def main() -> None:
     import jax.numpy as jnp
 
     fcfg = FrontendConfig()
-    rcfg = ReservoirConfig(mean_weight=0.0107)
-    params = res.init_reservoir(rcfg, n_channels=fcfg.n_filters)
+    n = args.num_neurons
+    rcfg = ReservoirConfig(
+        num_neurons=n,
+        small_world_k=int(0.10 * n * 2),
+        mean_weight=0.0107 if n <= 1000 else 0.002,
+        sparse=True if args.sparse else None,
+    )
+    if args.sparse:
+        from lsm_tpu.models.sparse import init_reservoir_sparse
+
+        params = init_reservoir_sparse(rcfg, n_channels=fcfg.n_filters)
+    else:
+        params = res.init_reservoir(rcfg, n_channels=fcfg.n_filters)
     d = len(FEATURE_SETS["original"]) * rcfg.num_output_neurons
     rng = np.random.default_rng(0)
     readout = LogisticParams(
@@ -90,10 +112,28 @@ def main() -> None:
         if mesh is not None and ns % n_chips:
             log(f"streams={ns}: skipped (not divisible by {n_chips} chips)")
             continue
-        kws = StreamingKWS(params, readout, st, fcfg, n_streams=ns, mesh=mesh)
+        if args.continuous:
+            from lsm_tpu.models.continuous import ContinuousKWS
+
+            kws = ContinuousKWS(params, readout, st, fcfg, n_streams=ns,
+                                chunk_len=chunk_len, mesh=mesh)
+        else:
+            kws = StreamingKWS(params, readout, st, fcfg, n_streams=ns,
+                               mesh=mesh)
         chunk = (rng.standard_normal((ns, chunk_len)) * 0.1).astype(np.float32)
         if args.pcm16:
             chunk = (chunk * 32768.0).astype(np.int16)
+        if args.device_resident:
+            if mesh is not None:
+                # Shard along streams: a single-device jnp.asarray would
+                # make every timed step pay a device0 -> all-chips
+                # redistribution inside the jit.
+                from lsm_tpu.parallel.mesh import shard_batch
+
+                chunk = shard_batch(chunk, mesh)
+            else:
+                chunk = jnp.asarray(chunk)
+            chunk.block_until_ready()
         kws.step(chunk)                     # compile + warmup (fused path)
         times = []
         for _ in range(args.steps):

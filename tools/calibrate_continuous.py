@@ -104,6 +104,11 @@ def main() -> None:
         feature_set=bundle.feature_set,
         class_names=bundle.class_names,
         feature_mode="continuous",
+        # Serving must reuse exactly these (stream_kws.py reads them).
+        continuous_params={
+            "chunk_len": chunk_len,
+            "norm_decay_db_per_bin": args.norm_decay_db_per_bin,
+        },
     )
     print(f"Continuous-calibrated bundle written to '{args.out}'")
 
