@@ -17,6 +17,10 @@ def main():
     ap.add_argument("--filterbank", default="gammatone")
     ap.add_argument("--gammatone-method", default="iir")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--continuous", action="store_true",
+                    help="Also profile the continuous-mode hop phases "
+                         "(gtgram chunk scan, LIF chunk kernel, segment "
+                         "fold + features + readout) at --n streams.")
     args = ap.parse_args()
 
     from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
@@ -65,7 +69,8 @@ def main():
             t0 = time.perf_counter()
             float(run_scalar(*a))
             best = min(best, time.perf_counter() - t0)
-        print(f"{name:24s} {best*1e3:9.1f} ms   {args.n/best:10.0f} utt/s")
+        print(f"{name:24s} {best*1e3:9.1f} ms   {args.n/best:10.0f} utt/s",
+              flush=True)
         return jax.jit(fn)(*a)
 
     # The dispatch floor: a trivial jitted scalar round-trip — subtract this
@@ -87,6 +92,60 @@ def main():
         lambda f: logistic.predict(readout, scaler.transform(st, f)),
         feats,
     )
+
+    if args.continuous:
+        # Continuous-mode hop phases at B = --n streams (each phase is a
+        # separate dispatch here, so each carries the floor; the production
+        # step fuses them into ONE dispatch).
+        import numpy as np
+
+        from lsm_tpu.ops import gammatone as gt
+        from lsm_tpu.ops.pallas.lif_chunk_kernel import (
+            chunk_kernel_ok,
+            simulate_chunk_pallas,
+        )
+
+        B = args.n
+        rng = np.random.default_rng(0)
+        print(f"-- continuous hop phases at {B} streams --", flush=True)
+        blocks = jnp.asarray(
+            (rng.standard_normal((20, B, 80)) * 0.1).astype(np.float32)
+        )
+        gstate = jnp.zeros((B, 8, fcfg.n_filters), jnp.float32)
+        timed(
+            "gtgram chunk scan",
+            lambda b, s: gt.gtgram_iir_scan(
+                b, s, fcfg.sample_rate, fcfg.n_filters, fcfg.gt_f_min, 80
+            ),
+            blocks, gstate,
+        )
+        n_pad = params.w_rec.shape[0]
+        sp = jnp.asarray(
+            (rng.random((B, params.w_in.shape[0], 40)) < 0.1).astype(np.uint8)
+        )
+        z = jnp.zeros((B, n_pad), jnp.float32)
+        if chunk_kernel_ok(params, 40):
+            timed(
+                "LIF chunk kernel",
+                lambda s, v, r, pv: simulate_chunk_pallas(
+                    params, s, v, r, pv, 40, 1
+                ),
+                sp, z, z, z,
+            )
+        segs = {
+            k: jnp.asarray(rng.random((10, B, 400)).astype(np.float32))
+            for k in ("counts", "sum_t", "sum_t2", "first", "last",
+                      "n_isi", "sum_isi", "sum_isi2", "bursts")
+        }
+        win = jnp.asarray(rng.random((B, 400, 10)).astype(np.float32))
+
+        def fold(sg, w):
+            stats = res.fold_segment_stats(sg, 40, rcfg.burst_isi_max)
+            stats["win_counts"] = w
+            f = res.features_from_stats(stats, keys)
+            return logistic.predict(readout, scaler.transform(st, f))
+
+        timed("fold+features+predict", fold, segs, win)
 
 
 if __name__ == "__main__":
