@@ -53,8 +53,10 @@ class ModelBundle(NamedTuple):
     # distribution the readout was calibrated on (chunk_len,
     # norm_decay_db_per_bin). Serving MUST reuse them — a different
     # decay/chunk at serve time silently re-introduces the calibration
-    # mismatch — so stream_kws.py reads them from here.
-    continuous_params: dict = {}
+    # mismatch — so stream_kws.py reads them from here. None for batch
+    # bundles (not {}: a shared mutable NamedTuple default would alias
+    # across instances).
+    continuous_params: "dict | None" = None
 
 
 def save_model(
@@ -169,5 +171,5 @@ def load_model(path: Path) -> ModelBundle:
         feature_set=meta["feature_set"],
         class_names=tuple(meta["class_names"]),
         feature_mode=meta.get("feature_mode", "batch"),
-        continuous_params=meta.get("continuous_params", {}),
+        continuous_params=meta.get("continuous_params") or None,
     )

@@ -503,25 +503,11 @@ class ContinuousKWS:
         return st
 
     def _normalize_chunk(self, chunk: np.ndarray) -> np.ndarray:
-        chunk = np.asarray(chunk)
-        if chunk.ndim == 1:
-            chunk = chunk[None, :]
-        if chunk.shape[0] != self.n_streams:
-            raise ValueError(
-                f"expected {self.n_streams} streams, got {chunk.shape[0]}"
-            )
-        if chunk.shape[-1] != self.chunk_len:
-            raise ValueError(
-                f"continuous mode ingests fixed {self.chunk_len}-sample "
-                f"chunks, got {chunk.shape[-1]}"
-            )
-        if chunk.dtype == np.int16:
-            return chunk
-        if np.issubdtype(chunk.dtype, np.integer):
-            raise TypeError(
-                f"integer PCM chunks must be int16, got {chunk.dtype}"
-            )
-        return chunk.astype(np.float32)
+        from lsm_tpu.models.streaming import normalize_ingest_chunk
+
+        return normalize_ingest_chunk(
+            chunk, self.n_streams, self.chunk_len, fixed_len=True
+        )
 
     def _place_chunk(self, chunk: np.ndarray) -> jax.Array:
         if self.mesh is not None:

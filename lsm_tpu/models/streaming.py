@@ -47,6 +47,44 @@ def _push_chunk(buffer: jax.Array, chunk: jax.Array, fcfg: FrontendConfig, keys)
     return jnp.concatenate([buffer[:, n:], chunk], axis=-1)
 
 
+def normalize_ingest_chunk(
+    chunk: np.ndarray, n_streams: int, max_len: int, fixed_len: bool
+) -> np.ndarray:
+    """The SHARED ingest policy of both streaming engines (shape + dtype).
+
+    float inputs are cast to f32 ([-1, 1] samples); int16 stays int16
+    (the jitted step converts with the decoders' exact /32768 on device);
+    other integer dtypes are rejected rather than silently cast unscaled.
+    Exact mode rejects chunks LONGER than the analysis window (they would
+    silently grow the buffer and recompile everything); continuous mode
+    (fixed_len) requires exactly its configured chunk length. One
+    function so the contract cannot drift between the engines.
+    """
+    chunk = np.asarray(chunk)
+    if chunk.ndim == 1:
+        chunk = chunk[None, :]
+    if chunk.shape[0] != n_streams:
+        raise ValueError(
+            f"expected {n_streams} streams, got {chunk.shape[0]}"
+        )
+    if fixed_len:
+        if chunk.shape[-1] != max_len:
+            raise ValueError(
+                f"continuous mode ingests fixed {max_len}-sample chunks, "
+                f"got {chunk.shape[-1]}"
+            )
+    elif chunk.shape[-1] > max_len:
+        raise ValueError(
+            f"chunk length {chunk.shape[-1]} exceeds the analysis "
+            f"window ({max_len} samples)"
+        )
+    if chunk.dtype == np.int16:
+        return chunk
+    if np.issubdtype(chunk.dtype, np.integer):
+        raise TypeError(f"integer PCM chunks must be int16, got {chunk.dtype}")
+    return chunk.astype(np.float32)
+
+
 class StreamingKWS:
     """Stateful sliding-window keyword spotter over B parallel streams.
 
@@ -154,33 +192,9 @@ class StreamingKWS:
         return jnp.asarray(chunk)
 
     def _normalize_chunk(self, chunk: np.ndarray) -> np.ndarray:
-        """Shared ingest policy for push()/step(): shape and dtype.
-
-        float inputs are cast to f32 ([-1, 1] samples); int16 stays int16
-        (the jitted step converts with the decoders' exact /32768 on
-        device); other integer dtypes are rejected rather than silently
-        cast unscaled. A chunk longer than the analysis window would
-        silently grow the buffer (changing the evaluated window and
-        recompiling everything downstream), so it is rejected too."""
-        chunk = np.asarray(chunk)
-        if chunk.ndim == 1:
-            chunk = chunk[None, :]
-        if chunk.shape[0] != self.n_streams:
-            raise ValueError(
-                f"expected {self.n_streams} streams, got {chunk.shape[0]}"
-            )
-        if chunk.shape[-1] > self.fcfg.num_samples:
-            raise ValueError(
-                f"chunk length {chunk.shape[-1]} exceeds the analysis "
-                f"window ({self.fcfg.num_samples} samples)"
-            )
-        if chunk.dtype == np.int16:
-            return chunk
-        if np.issubdtype(chunk.dtype, np.integer):
-            raise TypeError(
-                f"integer PCM chunks must be int16, got {chunk.dtype}"
-            )
-        return chunk.astype(np.float32)
+        return normalize_ingest_chunk(
+            chunk, self.n_streams, self.fcfg.num_samples, fixed_len=False
+        )
 
     def push(self, chunk: np.ndarray) -> None:
         """Append a (n_streams, chunk_len) audio chunk to the ring buffer.

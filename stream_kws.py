@@ -114,7 +114,7 @@ def main() -> None:
         # normalization decay than the readout was calibrated on silently
         # re-introduces the ~0.3 accuracy mismatch the feature_mode tag
         # exists to prevent.
-        cp = bundle.continuous_params
+        cp = bundle.continuous_params or {}
         if cp.get("chunk_len") and cp["chunk_len"] != chunk_len:
             print(
                 f"note: using the bundle's calibrated chunk length "
@@ -128,6 +128,14 @@ def main() -> None:
             f"{audio.shape[1]}-sample analysis window.", file=sys.stderr,
         )
         sys.exit(1)
+    dropped = audio.shape[1] - n_chunks * chunk_len
+    if dropped:
+        print(
+            f"note: chunk length {chunk_len} does not divide the "
+            f"{audio.shape[1]}-sample window — the last {dropped} samples "
+            "of every file are not served (pick a dividing --chunk-ms to "
+            "cover the full utterance)."
+        )
 
     if mode == "continuous":
         from lsm_tpu.models.continuous import ContinuousKWS
@@ -137,7 +145,9 @@ def main() -> None:
             bundle.feature_set, n_streams=n_streams,
             chunk_len=chunk_len,
             norm_decay_db_per_bin=float(
-                bundle.continuous_params.get("norm_decay_db_per_bin", 0.1)
+                (bundle.continuous_params or {}).get(
+                    "norm_decay_db_per_bin", 0.1
+                )
             ),
             mesh=mesh,
         )
@@ -150,8 +160,9 @@ def main() -> None:
         )
 
     names = list(bundle.class_names)
+    served_ms = 1000 * chunk_len // fcfg.sample_rate
     print(f"Serving {n_real} streams in {mode} mode "
-          f"({args.chunk_ms} ms chunks, {n_chunks} chunks"
+          f"({served_ms} ms chunks, {n_chunks} chunks"
           f"{', mesh x' + str(mesh.shape[meshlib.DATA_AXIS]) if mesh else ''})")
     if mode == "continuous":
         # Continuous mode is calibrated for ALWAYS-ON streams (carried

@@ -78,11 +78,12 @@ def main():
     timed("(dispatch floor)", lambda a: jnp.float32(0.0) * a[0, 0], audio)
 
     spikes = timed("featurize", lambda a: featurize_batch(a, fcfg), audio)
-    # The production dispatcher (Pallas LIF kernel on TPU when it fits VMEM).
+    # The production dispatcher (Pallas LIF kernel on TPU when it fits
+    # VMEM). params rides as a jit argument, never a closure (CLAUDE.md).
     feats = timed(
         "reservoir+features",
-        lambda s: res.extract_features(params, s, keys),
-        spikes,
+        lambda p, s: res.extract_features(p, s, keys),
+        params, spikes,
     )
     st = scaler.fit_scaler(feats)
     xs = scaler.transform(st, feats)
@@ -125,12 +126,15 @@ def main():
         )
         z = jnp.zeros((B, n_pad), jnp.float32)
         if chunk_kernel_ok(params, 40):
+            # params rides as a jit ARGUMENT (CLAUDE.md: closed-over
+            # weights become HLO literals; a scaled reservoir would
+            # overflow the remote compile service).
             timed(
                 "LIF chunk kernel",
-                lambda s, v, r, pv: simulate_chunk_pallas(
-                    params, s, v, r, pv, 40, 1
+                lambda p, s, v, r, pv: simulate_chunk_pallas(
+                    p, s, v, r, pv, 40, 1
                 ),
-                sp, z, z, z,
+                params, sp, z, z, z,
             )
         segs = {
             k: jnp.asarray(rng.random((10, B, 400)).astype(np.float32))
