@@ -203,6 +203,17 @@ class ContinuousKWS:
                 f"{t_win}-step analysis window (chunk_len must divide "
                 f"{fcfg.num_samples})"
             )
+        if t_win % n_win:
+            # The batch oracle (reservoir.stats_from_raster) clamps the
+            # remainder into the LAST rate window; the ring of uniform
+            # win_len windows cannot represent that, and silently covering
+            # only n_win*win_len trailing steps would shift the win_counts
+            # feature distribution. Fail loudly instead.
+            raise ValueError(
+                f"n_rate_windows={n_win} must divide the {t_win}-step "
+                "analysis window for the continuous rate-window ring "
+                "(the batch path folds the remainder into the last window)"
+            )
         win_len = max(1, t_win // n_win)
         if t_c % win_len:
             raise ValueError(
@@ -291,7 +302,7 @@ class ContinuousKWS:
                     simulate_chunk_pallas,
                 )
 
-                if chunk_kernel_ok(p, T_c):
+                if chunk_kernel_ok(p, T_c, batch=B):
                     v, refrac_f, s_prev, seg, win_new = simulate_chunk_pallas(
                         p, spikes, st.v, st.refrac.astype(jnp.float32),
                         st.s_prev, win_len, n_new_win,
@@ -433,6 +444,38 @@ class ContinuousKWS:
         # without shard_map.
         self._features = jax.jit(_features_fn)
 
+        def _reset_streams_fn(st: ContinuousState, mask) -> ContinuousState:
+            """Re-init every state leaf where mask (B,) is True. The init
+            values are the _init_state constants; all leaves are batch-
+            independent so a masked where is exactly 'this stream is
+            fresh'."""
+
+            def sel(cur, init_val, axis):
+                shape = [1] * cur.ndim
+                shape[axis] = mask.shape[0]
+                return jnp.where(
+                    mask.reshape(shape), jnp.asarray(init_val, cur.dtype), cur
+                )
+
+            seg_init = {"first": jnp.inf, "last": -1.0}
+            return ContinuousState(
+                iir=sel(st.iir, 0.0, 0),
+                tail=sel(st.tail, 0.0, 1),
+                hyst=sel(st.hyst, False, 0),
+                norm_hi=sel(st.norm_hi, -1e30, 0),
+                norm_lo=sel(st.norm_lo, 1e30, 0),
+                v=sel(st.v, 0.0, 0),
+                refrac=sel(st.refrac, 0, 0),
+                s_prev=sel(st.s_prev, 0.0, 0),
+                segs={
+                    k: sel(st.segs[k], seg_init.get(k, 0.0), 1)
+                    for k in st.segs
+                },
+                win_ring=sel(st.win_ring, 0.0, 0),
+            )
+
+        self._reset_streams = jax.jit(_reset_streams_fn, donate_argnums=(0,))
+
         self.state = self._init_state(n_streams)
 
     def features(self) -> "np.ndarray":
@@ -541,8 +584,36 @@ class ContinuousKWS:
     def predict(self, chunk: np.ndarray) -> np.ndarray:
         return np.argmax(self.step(chunk), axis=-1)
 
-    def reset(self) -> None:
-        self.state = self._init_state(self.n_streams)
+    def reset(self, stream_idx=None) -> None:
+        """Re-initialize stream state (parity with StreamingKWS.reset).
+
+        `stream_idx=None` resets ALL streams. Otherwise it names the
+        stream(s) to recycle — an int, a sequence of ints, or a
+        (n_streams,) bool mask — and EVERY ContinuousState leaf for just
+        those slots (IIR cascade, energy tail, hysteresis triggers,
+        normalization peak/floor sentinels, membrane/refractory/spike
+        carry, segment-summary ring, rate-window ring) re-initializes
+        in one fused masked update while the other streams' state is
+        untouched: the serving recycle path for an always-on server
+        whose stream slots turn over independently."""
+        if stream_idx is None:
+            self.state = self._init_state(self.n_streams)
+            return
+        mask = np.zeros((self.n_streams,), np.bool_)
+        idx = np.asarray(stream_idx)
+        if idx.dtype == np.bool_:
+            if idx.shape != (self.n_streams,):
+                raise ValueError(
+                    f"bool mask must have shape ({self.n_streams},), "
+                    f"got {idx.shape}"
+                )
+            mask = idx
+        else:
+            mask[idx] = True
+        m = jnp.asarray(mask)
+        if self.mesh is not None:
+            m = jax.device_put(m, NamedSharding(self.mesh, P(DATA_AXIS)))
+        self.state = self._reset_streams(self.state, m)
 
 
 def fit_continuous_readout(
@@ -591,7 +662,12 @@ def fit_continuous_readout(
         n_streams=n, chunk_len=chunk_len,
         norm_decay_db_per_bin=norm_decay_db_per_bin, mesh=mesh,
     )
-    prev = np.roll(audio, 1, axis=0)
+    # Carry-in pre-roll: a fixed-seed PERMUTATION, not np.roll — corpora
+    # are typically class-blocked (index_speech_commands walks class dirs,
+    # synthetic batches generate per class), so a roll-by-1 would give
+    # nearly every stream a SAME-class predecessor and calibrate on a
+    # context distribution deployment never sees (advisor r3).
+    prev = audio[np.random.default_rng(12345).permutation(n)]
     for c in range(n_chunks):
         kws.step(prev[:, c * chunk_len:(c + 1) * chunk_len])
     for c in range(n_chunks):

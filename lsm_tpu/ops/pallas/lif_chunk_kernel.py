@@ -120,18 +120,27 @@ def _lif_chunk_kernel(
         c_cur_s[:] = jnp.zeros_like(c_cur_s)
 
 
-def chunk_kernel_ok(params: ReservoirParams, t_c: int) -> bool:
-    """VMEM-fit gate (mirrors reservoir._pallas_lif_ok's budget)."""
+def chunk_kernel_ok(params: ReservoirParams, t_c: int, batch=None) -> bool:
+    """VMEM-fit gate (mirrors reservoir._pallas_lif_ok's budget).
+
+    With more than one batch tile on the grid, Mosaic double-buffers
+    every grid-varying block (the input spikes tile and each state/stat
+    in-out plane), so those per-tile terms count twice — the same
+    pipeline model the sparse estimator validated against a real 181 MB
+    compile failure (sparse_lif_chunk_kernel._vmem_estimate).
+    `batch=None` conservatively assumes a multi-tile grid."""
     n_pad = params.w_rec.shape[0]
     c_pad = params.w_in.shape[0]
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    vmem = (
-        2 * n_pad * n_pad                 # w_rec bf16
-        + t_c * _B_TILE * c_pad           # input tile uint8
-        + 12 * _B_TILE * n_pad * 4        # states + stats headroom
+    grid = 2 if batch is None else -(-batch // _B_TILE)
+    mult = 1 if grid <= 1 else 2
+    invariant = 2 * n_pad * n_pad + 2 * c_pad * n_pad  # w_rec + w_in bf16
+    per_tile = (
+        t_c * _B_TILE * c_pad             # input tile uint8
+        + 12 * _B_TILE * n_pad * 4        # states in+out + stats headroom
     )
-    return vmem < 48 * 1024 * 1024
+    return invariant + mult * per_tile < 48 * 1024 * 1024
 
 
 def simulate_chunk_pallas(

@@ -118,10 +118,13 @@ def main() -> None:
             cfg.feature_set, n_streams=n, chunk_len=chunk_len,
         )
         if carry_in:
-            # Stream a shifted copy first, no reset: every stream enters
+            # Stream a permuted copy first, no reset: every stream enters
             # its target utterance with carried state (the always-on
-            # operating condition).
-            prev = np.roll(x, 1, axis=0)
+            # operating condition). A fixed-seed permutation, not a
+            # roll-by-1: the split is class-correlated in index order, so
+            # rolling would hand most streams a same-class predecessor and
+            # flatter the carry-in accuracy (advisor r3).
+            prev = x[np.random.default_rng(12345).permutation(x.shape[0])]
             for c in range(n_chunks):
                 kws.step(prev[:, c * chunk_len:(c + 1) * chunk_len])
         for c in range(n_chunks):
