@@ -177,7 +177,11 @@ def main() -> None:
         f"{floor * 1e3:.1f} ms -> device-only {device_rate:.0f} utt/s")
 
     # --- cold path: disk -> native decode -> H2D -> predictions ------------
+    # Instrumented per phase (decode / H2D / compute) so rounds compare
+    # phase rates: the raw total drifts with relay-transfer load and is
+    # NOT comparable across sessions (VERDICT r3 item 8).
     cold_rate = None
+    cold_split = {}
     if not args.skip_cold:
         n_cold = min(n, 1200)
         with tempfile.TemporaryDirectory() as td:
@@ -192,28 +196,56 @@ def main() -> None:
             all_labels = np.asarray(
                 [class_idx[f.parent.name] for f in files], np.int32
             )
-            # warmup (decode once, run once); `kept` keeps labels aligned
-            # with the decoded rows if any file fails to decode.
-            batch, kept, _ = load_audio_batch(files, fcfg.sample_rate, fcfg.duration)
-            lab_cold = all_labels[kept]
-            pad = (-batch.shape[0]) % n_chips if mesh is not None else 0
-            if pad:
-                batch = np.pad(batch, ((0, pad), (0, 0)))
-            int(e2e_correct(place(batch), place(
-                np.pad(lab_cold, (0, pad)) if pad else lab_cold)))
-            t0 = time.perf_counter()
-            batch, kept, _ = load_audio_batch(files, fcfg.sample_rate, fcfg.duration)
-            lab_cold = all_labels[kept]
-            pad = (-batch.shape[0]) % n_chips if mesh is not None else 0
-            if pad:
-                batch = np.pad(batch, ((0, pad), (0, 0)))
-            int(e2e_correct(place(batch), place(
-                np.pad(lab_cold, (0, pad)) if pad else lab_cold)))
-            dt = time.perf_counter() - t0
-        cold_rate = len(kept) / dt
-        log(f"e2e cold (disk+decode+H2D+classify): {len(kept)} utterances "
+
+            # H2D forcing barrier: a jitted scalar reduction over the staged
+            # batch (block_until_ready on a large buffer can return early
+            # under the relay — CLAUDE.md timing methodology).
+            @jax.jit
+            def _force(x):
+                return jnp.sum(x)
+
+            def cold_run():
+                """One decode->H2D->compute pass; returns per-phase seconds
+                and the kept-row count."""
+                t0 = time.perf_counter()
+                batch, kept, _ = load_audio_batch(
+                    files, fcfg.sample_rate, fcfg.duration
+                )
+                lab_cold = all_labels[kept]
+                pad = (-batch.shape[0]) % n_chips if mesh is not None else 0
+                if pad:
+                    batch = np.pad(batch, ((0, pad), (0, 0)))
+                    lab_cold = np.pad(lab_cold, (0, pad))
+                t1 = time.perf_counter()
+                batch_dev = place(batch)
+                lab_dev = place(lab_cold)
+                float(_force(batch_dev))
+                t2 = time.perf_counter()
+                int(e2e_correct(batch_dev, lab_dev))
+                t3 = time.perf_counter()
+                return t1 - t0, t2 - t1, t3 - t2, len(kept), batch.nbytes
+
+            cold_run()                             # warmup (compiles _force)
+            t_dec, t_h2d, t_cmp, n_kept, nbytes = cold_run()
+            dt = t_dec + t_h2d + t_cmp
+        cold_rate = n_kept / dt
+        cold_split = {
+            "cold_decode_s": round(t_dec, 3),
+            "cold_h2d_s": round(t_h2d, 3),
+            "cold_compute_s": round(t_cmp, 3),
+            "cold_decode_files_per_sec": round(n_kept / max(t_dec, 1e-9), 1),
+            "cold_h2d_mbytes_per_sec": round(
+                nbytes / 1e6 / max(t_h2d - floor, 1e-9), 1
+            ),
+            "cold_compute_utt_per_sec": round(
+                n_kept / max(t_cmp - floor, 1e-9), 1
+            ),
+        }
+        log(f"e2e cold (disk+decode+H2D+classify): {n_kept} utterances "
             f"in {dt:.3f}s = {cold_rate:.1f} utt/s "
-            f"({cold_rate / n_chips:.1f}/chip)")
+            f"({cold_rate / n_chips:.1f}/chip); split: decode {t_dec:.3f}s, "
+            f"H2D {t_h2d:.3f}s ({cold_split['cold_h2d_mbytes_per_sec']} MB/s "
+            f"floor-adjusted), compute {t_cmp:.3f}s")
 
     # --- streaming serving capacity (BASELINE configs[4]) ------------------
     # Exact sliding-window mode and continuous (state-carrying) mode at
@@ -281,6 +313,7 @@ def main() -> None:
     }
     if cold_rate is not None:
         extra["cold_utt_per_sec_per_chip"] = round(cold_rate / n_chips, 2)
+        extra.update(cold_split)
     extra.update(streaming_extra)
     print(json.dumps({
         "metric": "utterances_per_sec_per_chip_e2e",

@@ -9,6 +9,7 @@ Extensions: --data-dir, --synthetic, --vocab, --batch-size.
 """
 
 import argparse
+import time
 from pathlib import Path
 
 from lsm_tpu.cli.common import (
@@ -16,6 +17,7 @@ from lsm_tpu.cli.common import (
     add_frontend_flags,
     build_config,
     mesh_from_args,
+    metrics_from_args,
     setup_logging,
 )
 from lsm_tpu.io import artifacts, dataset
@@ -41,6 +43,9 @@ def main() -> None:
     setup_logging()
     cfg = build_config(args)
     mesh = mesh_from_args(args)
+
+    metrics = metrics_from_args(args)
+    t0 = time.perf_counter()
 
     print(f"Creating dataset with filterbank: {cfg.frontend.filterbank}, "
           f"filters: {cfg.frontend.n_filters}")
@@ -71,6 +76,16 @@ def main() -> None:
     print(f"  Avg spikes per sample: {ds.x_spikes.sum() / len(ds.x_spikes):.1f}")
     dest = args.sharded_output if getattr(args, "sharded_output", None) else args.output
     print(f"Saved to '{dest}'")
+    if metrics:
+        dt = time.perf_counter() - t0
+        n = len(ds.x_spikes)
+        metrics.emit("stage1_wall_s", round(dt, 3), stage="create_dataset",
+                     utterances=n, utt_per_sec=round(n / max(dt, 1e-9), 1),
+                     filterbank=cfg.frontend.filterbank)
+        metrics.emit("avg_spikes_per_sample",
+                     round(float(ds.x_spikes.sum()) / max(n, 1), 2),
+                     stage="create_dataset")
+        metrics.close()
 
 
 if __name__ == "__main__":

@@ -8,6 +8,7 @@ simulator loop. Extensions: --num-neurons, --batch-size, --input/--output.
 """
 
 import argparse
+import time
 from pathlib import Path
 
 from lsm_tpu.cli.common import (
@@ -15,6 +16,7 @@ from lsm_tpu.cli.common import (
     add_extract_flags,
     build_config,
     mesh_from_args,
+    metrics_from_args,
     setup_logging,
 )
 from lsm_tpu.io import artifacts
@@ -41,9 +43,25 @@ def main() -> None:
         return
     print(f"Loaded {len(ds.x_spikes)} samples from '{args.input}'")
 
+    metrics = metrics_from_args(args)
+    t0 = time.perf_counter()
     result = extract_lsm_features(cfg, ds, output_path=Path(args.output),
                                   mesh=mesh_from_args(args))
     print(f"Extraction complete. Features saved to '{args.output}'")
+    if metrics:
+        dt = time.perf_counter() - t0
+        n = len(ds.x_spikes)
+        metrics.emit("stage2_wall_s", round(dt, 3), stage="extract_features",
+                     utterances=n, utt_per_sec=round(n / max(dt, 1e-9), 1))
+        metrics.emit("w_critico", result.w_critico, stage="extract_features")
+        metrics.emit("mean_weight", result.mean_weight,
+                     stage="extract_features", multiplier=cfg.multiplier)
+        if result.diagnostics is not None:
+            metrics.emit("regime", result.diagnostics.regime,
+                         stage="extract_features",
+                         avg_participation=round(
+                             result.diagnostics.avg_participation, 2))
+        metrics.close()
 
 
 if __name__ == "__main__":

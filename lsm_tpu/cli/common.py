@@ -135,16 +135,26 @@ def add_extension_flags(p: argparse.ArgumentParser) -> None:
                    help="Duplicate each filter channel R times before the "
                         "reservoir (reference REDUNDANCY_FACTOR, "
                         "create_dataset.py:17; SPIKE_TRAIN_DATASET.md).")
+    p.add_argument("--commands", type=str, default=None,
+                   help="Comma-separated keyword subset (arbitrary vocab, "
+                        "e.g. 'yes,no,up,down' for the 4-word config); "
+                        "overrides --vocab. Class index = position in the "
+                        "list.")
     p.add_argument("--single-device", action="store_true",
                    help="Disable the automatic data-parallel mesh and run "
                         "every stage on one device (default: shard over "
                         "all devices).")
     p.add_argument("--check", action="store_true",
                    help="Debug sanitizer mode: run stages under checkify "
-                        "float checks (single-device paths) and validate "
+                        "float checks (single-device paths; under a mesh "
+                        "checkify does not compose with shard_map, so only "
+                        "the host-side output validators run) and validate "
                         "stage outputs (0/1 spikes, finite non-constant "
                         "features); NaN/Inf fails loudly instead of being "
                         "papered over. Costs a pass over the data.")
+    p.add_argument("--metrics-out", type=str, default=None,
+                   help="Append structured JSONL metric records (per-stage "
+                        "rates, w_critico, regime, accuracy) to this file.")
 
 
 def mesh_from_args(args: argparse.Namespace):
@@ -152,8 +162,36 @@ def mesh_from_args(args: argparse.Namespace):
     return None if getattr(args, "single_device", False) else "auto"
 
 
+def resolve_commands(args: argparse.Namespace):
+    """The keyword vocabulary implied by the CLI flags: --commands (an
+    arbitrary comma-separated subset, e.g. BASELINE configs[0]'s
+    yes,no,up,down) wins over --vocab; defaults to the reference's 12
+    (reference create_dataset.py:108-120)."""
+    raw = getattr(args, "commands", None)
+    if raw:
+        commands = tuple(w.strip() for w in raw.split(",") if w.strip())
+        if len(commands) < 2:
+            raise SystemExit(
+                f"--commands needs at least 2 comma-separated words, got {raw!r}"
+            )
+        if len(set(commands)) != len(commands):
+            raise SystemExit(f"--commands has duplicate words: {raw!r}")
+        return commands
+    return COMMANDS_35 if getattr(args, "vocab", "v12") == "v35" else COMMANDS_12
+
+
+def metrics_from_args(args: argparse.Namespace):
+    """MetricLogger for --metrics-out (None when the flag is unset)."""
+    path = getattr(args, "metrics_out", None)
+    if not path:
+        return None
+    from lsm_tpu.utils.logging import MetricLogger
+
+    return MetricLogger(path=path)
+
+
 def build_config(args: argparse.Namespace) -> PipelineConfig:
-    commands = COMMANDS_35 if getattr(args, "vocab", "v12") == "v35" else COMMANDS_12
+    commands = resolve_commands(args)
     frontend = FrontendConfig(
         n_filters=getattr(args, "n_filters", 128),
         filterbank=getattr(args, "filterbank", "gammatone"),

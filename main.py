@@ -12,12 +12,15 @@ stage-level resume (SURVEY.md section 5.4).
 import argparse
 from pathlib import Path
 
+import time
+
 from lsm_tpu.cli.common import (
     add_extension_flags,
     add_extract_flags,
     add_frontend_flags,
     build_config,
     mesh_from_args,
+    metrics_from_args,
     setup_logging,
 )
 from lsm_tpu.io import artifacts, dataset
@@ -45,10 +48,12 @@ def main() -> None:
     setup_logging()
     cfg = build_config(args)
     mesh = mesh_from_args(args)
+    metrics = metrics_from_args(args)
 
     print("--- Running Pipeline ---")
 
     print("\n--- Step 1: Creating Spike Train Dataset ---")
+    t0 = time.perf_counter()
     spike_path = None if args.skip_artifacts else Path(
         artifacts.SPIKE_DATASET_FILENAME
     )
@@ -65,13 +70,41 @@ def main() -> None:
         ds = create_spike_dataset(cfg, Path(args.data_dir), spike_path,
                                   mesh=mesh)
     print(f"  Shape: {ds.x_spikes.shape}")
+    if metrics:
+        dt = time.perf_counter() - t0
+        n = len(ds.x_spikes)
+        metrics.emit("stage1_wall_s", round(dt, 3), stage="create_dataset",
+                     utterances=n, utt_per_sec=round(n / max(dt, 1e-9), 1))
+        metrics.emit("avg_spikes_per_sample",
+                     round(float(ds.x_spikes.sum()) / max(n, 1), 2),
+                     stage="create_dataset")
 
     print("\n--- Step 2: Extracting LSM Features ---")
+    t0 = time.perf_counter()
     feat_path = None if args.skip_artifacts else Path(artifacts.FEATURES_FILENAME)
     ext = extract_lsm_features(cfg, ds, output_path=feat_path, mesh=mesh)
+    if metrics:
+        dt = time.perf_counter() - t0
+        n = len(ds.x_spikes)
+        metrics.emit("stage2_wall_s", round(dt, 3), stage="extract_features",
+                     utterances=n, utt_per_sec=round(n / max(dt, 1e-9), 1))
+        metrics.emit("w_critico", ext.w_critico, stage="extract_features")
+        metrics.emit("mean_weight", ext.mean_weight, stage="extract_features",
+                     multiplier=cfg.multiplier)
+        if ext.diagnostics is not None:
+            metrics.emit("regime", ext.diagnostics.regime,
+                         stage="extract_features",
+                         avg_participation=round(
+                             ext.diagnostics.avg_participation, 2))
 
     print("\n--- Step 3: Training and Evaluating Classifier ---")
+    t0 = time.perf_counter()
     result = train_and_evaluate(cfg, ext.artifact, mesh=mesh)
+    if metrics:
+        metrics.emit("stage3_wall_s", round(time.perf_counter() - t0, 3),
+                     stage="train_classifier", lbfgs_iters=result.n_iters)
+        metrics.emit("test_accuracy", result.accuracy,
+                     stage="train_classifier", feature_set=cfg.feature_set)
     print("\n--- Final Results ---")
     print(f"Test Accuracy: {result.accuracy * 100:.2f}%\n")
     print("Classification Report:")
@@ -91,6 +124,8 @@ def main() -> None:
         )
         print(f"Model saved to '{args.save_model}'")
 
+    if metrics:
+        metrics.close()
     print("\n--- Pipeline Finished ---")
 
 

@@ -61,6 +61,67 @@ def test_cli_three_stage_pipeline(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_four_word_mel_config_with_metrics(tmp_path):
+    """BASELINE configs[0]: yes/no/up/down, mel, 64 filters — expressible
+    via --commands (VERDICT r3 item 5) — plus --metrics-out JSONL schema
+    (item 7) through all three stage CLIs."""
+    import json
+
+    ext = ["--synthetic", "--samples-per-class", "6", "--num-neurons", "256",
+           "--num-output-neurons", "128", "--batch-size", "64",
+           "--commands", "yes,no,up,down",
+           "--metrics-out", "metrics.jsonl"]
+    r1 = _run(
+        [str(REPO / "create_dataset.py"), *ext, "--n-filters", "64",
+         "--filterbank", "mel"],
+        tmp_path,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    data = np.load(tmp_path / "speech_spike_dataset_pure_redundancy.npz")
+    assert data["X_spikes"].shape[1:] == (64, 400)
+    assert set(np.unique(data["y_labels"])) == {0, 1, 2, 3}
+
+    r2 = _run([str(REPO / "extract_lsm_features.py"), *ext], tmp_path)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    r3 = _run(
+        [str(REPO / "train_classifier.py"), "--commands", "yes,no,up,down",
+         "--metrics-out", "metrics.jsonl"],
+        tmp_path,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "down" in r3.stdout  # 4-word vocab reaches the report
+
+    records = [json.loads(line)
+               for line in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    by_name = {r["metric"]: r for r in records}
+    for key in ("stage1_wall_s", "avg_spikes_per_sample", "stage2_wall_s",
+                "w_critico", "mean_weight", "regime", "stage3_wall_s",
+                "test_accuracy"):
+        assert key in by_name, f"missing metric {key}: {sorted(by_name)}"
+    for r in records:
+        assert {"ts", "metric", "value"} <= set(r)
+    assert by_name["stage1_wall_s"]["utterances"] == 24
+    assert 0.0 <= by_name["test_accuracy"]["value"] <= 1.0
+
+
+def test_resolve_commands_validation():
+    import argparse
+
+    from lsm_tpu.cli.common import resolve_commands
+    from lsm_tpu.config import COMMANDS_12
+
+    ns = argparse.Namespace(commands="yes,no,up,down", vocab="v12")
+    assert resolve_commands(ns) == ("yes", "no", "up", "down")
+    assert resolve_commands(argparse.Namespace(commands=None, vocab="v12")) == \
+        COMMANDS_12
+    with pytest.raises(SystemExit):
+        resolve_commands(argparse.Namespace(commands="yes"))
+    with pytest.raises(SystemExit):
+        resolve_commands(argparse.Namespace(commands="yes,yes,no"))
+
+
+@pytest.mark.slow
 def test_cli_missing_artifact_messages(tmp_path):
     r = _run([str(REPO / "train_classifier.py")], tmp_path)
     assert r.returncode == 0

@@ -7,10 +7,16 @@ backed by an on-device LBFGS multinomial logistic fit.
 """
 
 import argparse
+import time
 from pathlib import Path
 
-from lsm_tpu.cli.common import build_config, mesh_from_args, setup_logging
-from lsm_tpu.config import COMMANDS_12, COMMANDS_35
+from lsm_tpu.cli.common import (
+    build_config,
+    mesh_from_args,
+    metrics_from_args,
+    resolve_commands,
+    setup_logging,
+)
 from lsm_tpu.io import artifacts
 from lsm_tpu.pipeline import train_and_evaluate
 
@@ -21,6 +27,12 @@ def main() -> None:
     )
     parser.add_argument("--input", type=str, default=artifacts.FEATURES_FILENAME)
     parser.add_argument("--vocab", type=str, default="v12", choices=["v12", "v35"])
+    parser.add_argument("--commands", type=str, default=None,
+                        help="Comma-separated keyword subset used as class "
+                             "names in the report; overrides --vocab.")
+    parser.add_argument("--metrics-out", type=str, default=None,
+                        help="Append structured JSONL metric records to this "
+                             "file.")
     parser.add_argument("--single-device", action="store_true",
                         help="Disable the automatic data-parallel mesh.")
     args = parser.parse_args()
@@ -36,8 +48,10 @@ def main() -> None:
     print(f"Loaded {len(art.x_train)} training and {len(art.x_test)} test samples.")
     print("Training the Logistic Regression classifier...")
     cfg = build_config(args)
-    names = COMMANDS_35 if args.vocab == "v35" else COMMANDS_12
+    names = resolve_commands(args)
     n_classes = int(max(art.y_train.max(), art.y_test.max())) + 1
+    metrics = metrics_from_args(args)
+    t0 = time.perf_counter()
     result = train_and_evaluate(cfg, art, class_names=names[:n_classes],
                                 mesh=mesh_from_args(args))
     print("Training complete.")
@@ -46,6 +60,12 @@ def main() -> None:
     print(f"Test Accuracy: {result.accuracy * 100:.2f}%\n")
     print("Classification Report:")
     print(result.report.render())
+    if metrics:
+        metrics.emit("stage3_wall_s", round(time.perf_counter() - t0, 3),
+                     stage="train_classifier", lbfgs_iters=result.n_iters)
+        metrics.emit("test_accuracy", result.accuracy,
+                     stage="train_classifier", feature_set=cfg.feature_set)
+        metrics.close()
 
 
 if __name__ == "__main__":
