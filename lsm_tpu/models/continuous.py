@@ -72,7 +72,9 @@ class ContinuousState:
     `segs` (ring/scan-major like what they cache)."""
 
     iir: jax.Array        # (B, 8, C) f32 — gammatone cascade state
-    tail: jax.Array       # (w_per - h_per, B, C) f32 — straddling energies
+                          #   (mel: (B, 0, C) — no IIR state)
+    tail: jax.Array       # gammatone: (w_per - h_per, B, C) f32 straddling
+                          #   energies; mel: (n_fft - hop, B, 1) raw audio
     hyst: jax.Array       # (B, n_thr, C) bool — Schmitt trigger state
     norm_hi: jax.Array    # (B,) f32 — running peak dB
     norm_lo: jax.Array    # (B,) f32 — running floor dB
@@ -97,8 +99,13 @@ class ContinuousKWS:
     mode re-normalizes them retroactively each window; this mode cannot) —
     so the first ~1 s of a cold stream is warmup, and the accuracy
     contract is measured in the carried-state condition
-    (tools/bench_continuous.py). Gammatone frontend only — the mel path
-    is windowed-FFT-based and has no O(hop) incremental form.
+    (tools/bench_continuous.py). Both reference frontends are supported:
+    gammatone continues its IIR-cascade state + straddling-window energy
+    tail; mel computes one STFT frame per 160-sample hop from a carried
+    (n_fft - hop)-sample raw-audio tail (same Hann/filterbank/dB math as
+    the batch path; power_to_db's ref=max subtraction cancels in min-max
+    normalization except the top_db floor, which the shared causal
+    peak/floor normalization applies).
 
     Accepts dense ReservoirParams or block-sparse SparseReservoirParams
     (scaled reservoirs): each has a fused Pallas chunk kernel on TPU
@@ -120,32 +127,48 @@ class ContinuousKWS:
         norm_decay_db_per_bin: float = 0.1,
         mesh: Optional[Mesh] = None,
     ):
-        if fcfg.filterbank != "gammatone":
-            raise ValueError(
-                "continuous mode requires the gammatone frontend "
-                f"(got {fcfg.filterbank!r})"
-            )
+        if fcfg.filterbank not in ("gammatone", "mel"):
+            raise ValueError(f"unknown filterbank {fcfg.filterbank!r}")
+        is_mel = fcfg.filterbank == "mel"
         from lsm_tpu.models.sparse import SparseReservoirParams
 
         if not isinstance(params, (res.ReservoirParams, SparseReservoirParams)):
             raise TypeError(f"unsupported reservoir params: {type(params)}")
         is_sparse = isinstance(params, SparseReservoirParams)
-        hop_time = fcfg.num_samples / (fcfg.sample_rate * fcfg.time_bins)
-        nwin, hop, _ = gt.gtgram_strides(
-            fcfg.sample_rate, fcfg.gt_window_time, hop_time, fcfg.num_samples
-        )
+        if is_mel:
+            # One STFT frame per 160-sample hop (the batch path's hop,
+            # create_dataset.py:43-45). The carried frontend state is the
+            # last n_fft - hop raw samples: frames are n_fft wide, so a
+            # frame ending inside this chunk starts up to n_fft - hop
+            # samples before it. Frames end flush with the chunk (inherent
+            # n_fft/2 = 64 ms analysis latency — the same centered-window
+            # context the batch STFT sees, delivered causally).
+            if fcfg.num_samples % fcfg.time_bins:
+                raise ValueError(
+                    f"num_samples {fcfg.num_samples} must be a multiple of "
+                    f"time_bins {fcfg.time_bins}"
+                )
+            hop = fcfg.num_samples // fcfg.time_bins
+            nwin = fcfg.n_fft
+            g = hop
+        else:
+            hop_time = fcfg.num_samples / (fcfg.sample_rate * fcfg.time_bins)
+            nwin, hop, _ = gt.gtgram_strides(
+                fcfg.sample_rate, fcfg.gt_window_time, hop_time,
+                fcfg.num_samples
+            )
+            if nwin < hop:
+                raise ValueError(
+                    f"gammatone window ({nwin} samples) must be >= the hop "
+                    f"({hop}): with gaps between windows the energy-tail "
+                    "carry has no meaning"
+                )
+            g = math.gcd(hop, nwin)
         if chunk_len % hop:
             raise ValueError(
                 f"chunk_len {chunk_len} must be a multiple of the "
                 f"featurizer hop ({hop} samples)"
             )
-        if nwin < hop:
-            raise ValueError(
-                f"gammatone window ({nwin} samples) must be >= the hop "
-                f"({hop}): with gaps between windows the energy-tail "
-                "carry has no meaning"
-            )
-        g = math.gcd(hop, nwin)
         self.params = params
         self.readout = readout
         self.scaler_state = scaler_state
@@ -154,11 +177,18 @@ class ContinuousKWS:
         self.n_streams = n_streams
         self.chunk_len = chunk_len
         self.mesh = mesh
+        self._is_mel = is_mel
         self._g = g
         self._nwin = nwin
         self._w_per = nwin // g
         self._h_per = hop // g
-        self._tail = self._w_per - self._h_per
+        # Carried frontend-state shapes: gammatone keeps straddling
+        # sub-block ENERGIES (w_per - h_per, B, C) + the (B, 8, C) IIR
+        # cascade state; mel keeps raw AUDIO (n_fft - hop, B, 1) and no
+        # IIR state.
+        self._tail = (nwin - hop) if is_mel else (self._w_per - self._h_per)
+        self._tail_ch = 1 if is_mel else fcfg.n_filters
+        self._iir_n = 0 if is_mel else 8
         self._n_thr = fcfg.n_thresholds
         self._t_win = fcfg.time_bins * fcfg.n_thresholds
         self._decay = float(norm_decay_db_per_bin)
@@ -224,30 +254,20 @@ class ContinuousKWS:
         self._n_ring = t_win // t_c
         n_new_win = t_c // win_len
 
-        starts_np = np.arange(n_cols) * h_per
-        win_idx = jnp.asarray(
-            starts_np[:, None] + np.arange(w_per)[None, :]
-        )                                                 # (n_cols, w_per)
+        def _normalize_encode(db, st: ContinuousState):
+            """(n_cols, B, C) dB bins -> ((B, C', T_c) spikes, new trigger
+            state, new peak/floor). The frontend-agnostic half of the
+            featurizer: causal peak/floor normalization + hysteresis.
 
-        def _featurize_chunk(chunk, st: ContinuousState):
-            B = chunk.shape[0]
-            n_sub = chunk.shape[1] // g
-            blocks = chunk.reshape(B, n_sub, g).transpose(1, 0, 2)
-            iir, sub_e = gt.gtgram_iir_scan(blocks, st.iir, fs, C, f_min, g)
-            all_e = jnp.concatenate([st.tail, sub_e], axis=0)
-            win_e = jnp.sum(all_e[win_idx], axis=1)       # (n_cols, B, C)
-            amp = jnp.sqrt(win_e / nwin)
-            db = 20.0 * jnp.log(amp + 1e-9) / _LOG10      # (n_cols, B, C)
-
-            # Running peak/floor with linear-in-dB decay and CHUNK-level
-            # lookahead: every bin in the chunk normalizes against the
-            # whole chunk's extrema (a <= one-chunk decision latency —
-            # within-chunk decay at 0.1 dB/bin is negligible), merged with
-            # the carried pre-chunk value aged by the bin's distance.
-            # Pure-causal cummax was measured worse on the hard benchmark
-            # (matched 0.7917 -> 0.8056, carry-in 0.500 -> 0.528 with the
-            # lookahead): a word's first bins normalized against the
-            # pre-word noise peak over-fire (docs/VALIDATION.md).
+            Running peak/floor with linear-in-dB decay and CHUNK-level
+            lookahead: every bin in the chunk normalizes against the
+            whole chunk's extrema (a <= one-chunk decision latency —
+            within-chunk decay at 0.1 dB/bin is negligible), merged with
+            the carried pre-chunk value aged by the bin's distance.
+            Pure-causal cummax was measured worse on the hard benchmark
+            (matched 0.7917 -> 0.8056, carry-in 0.500 -> 0.528 with the
+            lookahead): a word's first bins normalized against the
+            pre-word noise peak over-fire (docs/VALIDATION.md)."""
             colmax = jnp.max(db, axis=-1)                 # (n_cols, B)
             colmin = jnp.min(db, axis=-1)
             jj = jnp.arange(n_cols, dtype=jnp.float32)[:, None]
@@ -277,11 +297,71 @@ class ContinuousKWS:
             )
             if redundancy > 1:
                 spikes = jnp.repeat(spikes, redundancy, axis=-2)
-            # Explicit start index: `all_e[-tail:]` would return the WHOLE
-            # buffer at tail == 0 (window == hop), growing the carried
-            # state every step.
-            new_tail = all_e[all_e.shape[0] - tail:]
-            return spikes, iir, new_tail, hyst, hi[-1], lo[-1]
+            return spikes, hyst, hi[-1], lo[-1]
+
+        if is_mel:
+            from lsm_tpu.ops import mel as melops
+            from lsm_tpu.ops import stft as stftops
+
+            fmax = (
+                fcfg.mel_fmax if fcfg.mel_fmax is not None else fs / 2.0
+            )
+            mel_fb_t = jnp.asarray(
+                melops.mel_filterbank(fs, fcfg.n_fft, C, fcfg.mel_fmin, fmax).T
+            )                                             # (n_freqs, C)
+            hann = jnp.asarray(stftops.hann_window(fcfg.n_fft))
+            # Static frame gather: frame i covers concat[i*hop, i*hop+n_fft)
+            # of [tail | chunk]; the last frame ends flush with the chunk.
+            frame_idx = (
+                np.arange(n_cols)[:, None] * hop
+                + np.arange(fcfg.n_fft)[None, :]
+            )
+            tail_len = self._tail
+
+            def _featurize_chunk(chunk, st: ContinuousState):
+                """Per-hop mel bins from carried raw audio: same window/
+                filterbank/dB math as the batch path (ops/stft.py, ops/
+                mel.py, ops/db.py power_to_db) — power_to_db's ref=max
+                subtraction cancels in min-max normalization except the
+                top_db floor, which _normalize_encode applies against the
+                RUNNING peak exactly like the gammatone path."""
+                audio_tail = jnp.moveaxis(st.tail[:, :, 0], 0, 1)  # (B, tail)
+                concat = jnp.concatenate([audio_tail, chunk], axis=-1)
+                frames = concat[:, frame_idx]             # (B, n_cols, n_fft)
+                spec = jnp.fft.rfft(frames * hann, axis=-1)
+                power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+                melp = power @ mel_fb_t                   # (B, n_cols, C)
+                db = 10.0 * jnp.log(jnp.maximum(melp, 1e-10)) / _LOG10
+                db = jnp.moveaxis(db, 0, 1)               # (n_cols, B, C)
+                spikes, hyst, hi_l, lo_l = _normalize_encode(db, st)
+                new_tail = jnp.moveaxis(
+                    concat[:, concat.shape[1] - tail_len:], 0, 1
+                )[:, :, None]                             # (tail, B, 1)
+                return spikes, st.iir, new_tail, hyst, hi_l, lo_l
+
+        else:
+            starts_np = np.arange(n_cols) * h_per
+            win_idx = jnp.asarray(
+                starts_np[:, None] + np.arange(w_per)[None, :]
+            )                                             # (n_cols, w_per)
+
+            def _featurize_chunk(chunk, st: ContinuousState):
+                B = chunk.shape[0]
+                n_sub = chunk.shape[1] // g
+                blocks = chunk.reshape(B, n_sub, g).transpose(1, 0, 2)
+                iir, sub_e = gt.gtgram_iir_scan(
+                    blocks, st.iir, fs, C, f_min, g
+                )
+                all_e = jnp.concatenate([st.tail, sub_e], axis=0)
+                win_e = jnp.sum(all_e[win_idx], axis=1)   # (n_cols, B, C)
+                amp = jnp.sqrt(win_e / nwin)
+                db = 20.0 * jnp.log(amp + 1e-9) / _LOG10  # (n_cols, B, C)
+                spikes, hyst, hi_l, lo_l = _normalize_encode(db, st)
+                # Explicit start index: `all_e[-tail:]` would return the
+                # WHOLE buffer at tail == 0 (window == hop), growing the
+                # carried state every step.
+                new_tail = all_e[all_e.shape[0] - tail:]
+                return spikes, iir, new_tail, hyst, hi_l, lo_l
 
         def _reservoir_chunk(p, spikes, st: ContinuousState):
             """(B, C, T_c) spikes + carried state -> (v, refrac, s_prev,
@@ -435,6 +515,10 @@ class ContinuousKWS:
 
             self._step = jax.jit(_mesh_step, donate_argnums=(1,))
 
+        # Frontend-only entry point (no state donation): used by the
+        # bit-level featurizer oracles in tests/test_continuous.py.
+        self._featurize = jax.jit(_featurize_chunk)
+
         def _features_fn(segs, win_ring):
             stats = res.fold_segment_stats(segs, t_c, burst_isi_max)
             stats["win_counts"] = win_ring
@@ -507,8 +591,8 @@ class ContinuousKWS:
         n_pad = self._n_state
         no = self.params.n_outputs
         st = ContinuousState(
-            iir=jnp.zeros((B, 8, C), jnp.float32),
-            tail=jnp.zeros((self._tail, B, C), jnp.float32),
+            iir=jnp.zeros((B, self._iir_n, C), jnp.float32),
+            tail=jnp.zeros((self._tail, B, self._tail_ch), jnp.float32),
             hyst=jnp.zeros((B, self._n_thr, C), jnp.bool_),
             # "No observation yet": +-1e30 sentinels lose every max/min
             # against real data, so the first chunk's normalization comes
@@ -570,6 +654,12 @@ class ContinuousKWS:
             dev = chunk
         else:
             dev = self._place_chunk(self._normalize_chunk(chunk))
+        return np.asarray(self._step_device(dev))
+
+    def _step_device(self, dev) -> "jax.Array":
+        """Dispatch one step on a device-resident chunk; returns the logits
+        as an UNMATERIALIZED jax.Array (nothing blocks). The building block
+        of the pipelined driver (streaming.stream_pipelined)."""
         self.state, out = self._step(
             self.params,
             self.state,
@@ -579,7 +669,15 @@ class ContinuousKWS:
             self.scaler_state.mean,
             self.scaler_state.scale,
         )
-        return np.asarray(out)
+        return out
+
+    def stream(self, chunks, depth: int = 2):
+        """Pipelined serving loop: yields per-chunk logits, bit-equal to
+        serial step() calls but with H2D/dispatch of up to `depth` steps
+        in flight (see streaming.stream_pipelined)."""
+        from lsm_tpu.models.streaming import stream_pipelined
+
+        return stream_pipelined(self, chunks, depth=depth)
 
     def predict(self, chunk: np.ndarray) -> np.ndarray:
         return np.argmax(self.step(chunk), axis=-1)

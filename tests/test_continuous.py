@@ -105,8 +105,8 @@ def test_fold_segment_stats_matches_whole_raster(rng):
             np.testing.assert_array_equal(a, b, err_msg=k)
 
 
-def _setup(n_streams=2, mesh=None, seed=0):
-    fcfg = FrontendConfig(n_filters=16, filterbank="gammatone")
+def _setup(n_streams=2, mesh=None, seed=0, filterbank="gammatone"):
+    fcfg = FrontendConfig(n_filters=16, filterbank=filterbank)
     rcfg = ReservoirConfig(
         num_neurons=128, num_output_neurons=64, small_world_k=16,
         mean_weight=0.03,
@@ -306,6 +306,123 @@ def test_continuous_stream_drives_reservoir(rng):
     )
 
 
+def test_continuous_mel_stream_drives_reservoir(rng):
+    """The mel frontend (per-hop STFT frames from a carried raw-audio
+    tail) drives the reservoir: silence is a fixed point, audio perturbs
+    finite logits, reset restores the silent operating point."""
+    kws = _setup(n_streams=2, filterbank="mel")
+    assert kws.state.iir.shape == (2, 0, 16)
+    assert kws.state.tail.shape == (kws.fcfg.n_fft - 160, 2, 1)
+    silent = kws.step(np.zeros((2, 1600), np.float32))
+    np.testing.assert_array_equal(
+        silent, kws.step(np.zeros((2, 1600), np.float32))
+    )
+    prev = None
+    for _ in range(12):
+        out = kws.step(
+            (rng.standard_normal((2, 1600)) * 0.3).astype(np.float32)
+        )
+        assert np.isfinite(out).all()
+        if prev is not None:
+            assert not np.array_equal(out, prev)
+        prev = out
+    assert np.asarray(kws.state.segs["counts"]).sum() > 0
+    kws.reset()
+    np.testing.assert_array_equal(
+        silent, kws.step(np.zeros((2, 1600), np.float32))
+    )
+
+
+def test_continuous_mel_audio_tail_exact(rng):
+    """The carried mel frontend state is the raw last n_fft - hop samples,
+    bit-exact, regardless of chunking."""
+    kws = _setup(n_streams=2, filterbank="mel")
+    audio = (rng.standard_normal((2, 8000)) * 0.3).astype(np.float32)
+    for c in range(5):
+        kws.step(audio[:, c * 1600:(c + 1) * 1600])
+    tail = np.asarray(kws.state.tail)[:, :, 0].T      # (B, n_fft - hop)
+    np.testing.assert_array_equal(tail, audio[:, -tail.shape[1]:])
+
+
+def test_continuous_mel_matches_manual_stft_oracle(rng):
+    """First-chunk mel SPIKES == a NumPy oracle, bit-level: frames of
+    [zeros(n_fft-hop) | chunk] -> Hann -> rFFT power -> Slaney mel ->
+    10*log10 -> first-chunk causal min-max (fresh peak/floor sentinels
+    reduce to plain chunk min-max with the top_db floor) -> the same
+    hysteresis encoder. Drives the engine's jitted featurizer directly
+    (kws._featurize)."""
+    from lsm_tpu.ops.hysteresis import hysteresis_encode
+    from lsm_tpu.ops.mel import mel_filterbank
+    from lsm_tpu.ops.stft import hann_window
+
+    kws = _setup(n_streams=2, filterbank="mel")
+    fcfg = kws.fcfg
+    chunk = (rng.standard_normal((2, 1600)) * 0.3).astype(np.float32)
+    spikes_eng, _, new_tail, _, _, _ = kws._featurize(
+        jnp.asarray(chunk), kws.state
+    )
+    spikes_eng = np.asarray(spikes_eng)
+
+    n_fft, hop = fcfg.n_fft, 160
+    concat = np.concatenate(
+        [np.zeros((2, n_fft - hop), np.float32), chunk], axis=-1
+    )
+    np.testing.assert_array_equal(                     # audio tail carried
+        np.asarray(new_tail)[:, :, 0].T, concat[:, -(n_fft - hop):]
+    )
+    win = hann_window(n_fft)
+    fb = mel_filterbank(fcfg.sample_rate, n_fft, fcfg.n_filters,
+                        fcfg.mel_fmin, fcfg.sample_rate / 2.0)
+    oracle = []
+    for b in range(2):
+        cols = []
+        for i in range(10):
+            fr = (concat[b, i * hop:i * hop + n_fft] * win).astype(np.float32)
+            spec = np.fft.rfft(fr)
+            p = (spec.real ** 2 + spec.imag ** 2).astype(np.float32)
+            cols.append(
+                (10.0 * np.log(np.maximum(fb @ p, np.float32(1e-10)))
+                 / np.float32(np.log(10.0)))
+            )
+        db = np.stack(cols, axis=-1)                   # (C, 10)
+        hi, lo = db.max(), db.min()
+        floor = hi - fcfg.power_top_db
+        lo_eff = max(lo, floor)
+        rng_ = hi - lo_eff
+        spec01 = (np.maximum(db, floor) - lo_eff) / (rng_ + 1e-8)
+        oracle.append(np.clip(spec01, 0.0, 1.0))
+    spikes_oracle = np.asarray(hysteresis_encode(
+        jnp.asarray(np.stack(oracle).astype(np.float32)),
+        fcfg.spike_thresholds, fcfg.hysteresis_gap,
+    ))
+    # f32 FFT/matmul rounding can differ between XLA and NumPy right AT a
+    # threshold; demand near-total agreement rather than bitwise.
+    agree = (spikes_eng == spikes_oracle).mean()
+    assert agree > 0.999, f"spike agreement {agree}"
+
+
+def test_continuous_pipelined_stream_bit_equal(rng):
+    """kws.stream(chunks) yields logits bit-equal to serial step() and
+    leaves identical carried state (the pipelined driver only reorders
+    host blocking, never the dispatched programs)."""
+    serial = _setup(n_streams=2)
+    cl = serial.chunk_len
+    chunks = [
+        (rng.standard_normal((2, cl)) * 0.2).astype(np.float32)
+        for _ in range(5)
+    ]
+    expected = [serial.step(c) for c in chunks]
+    kws = _setup(n_streams=2)
+    got = list(kws.stream(chunks, depth=3))
+    assert len(got) == len(expected)
+    for e, g in zip(expected, got):
+        np.testing.assert_array_equal(e, g)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        kws.state, serial.state,
+    )
+
+
 def test_continuous_int16_matches_float(rng):
     a = _setup(n_streams=1)
     b = _setup(n_streams=1)
@@ -324,25 +441,28 @@ def test_continuous_rejects_bad_chunks():
     with pytest.raises(ValueError):
         ContinuousKWS(
             _setup(1).params, _setup(1).readout, _setup(1).scaler_state,
-            FrontendConfig(n_filters=16, filterbank="mel"),
+            FrontendConfig(n_filters=16, filterbank="nonsense"),
         )
 
 
 @pytest.mark.slow
-def test_continuous_matched_readout_learns_hard_benchmark():
+@pytest.mark.parametrize("filterbank", ["gammatone", "mel"])
+def test_continuous_matched_readout_learns_hard_benchmark(filterbank):
     """The end-to-end accuracy prong of the continuous mode's contract:
     with a readout trained on continuous-mode features (the production
     calibration, tools/bench_continuous.py 'matched' protocol), streamed
     predictions on the frozen hard benchmark must be far above chance and
-    near the batch path. Full-size measurement recorded in VALIDATION.md:
-    matched 0.7917 vs exact 0.8333 at n=360 (within ~1 SE); this reduced
-    run (n=96, flagship-shape but smaller reservoir for CI time) asserts
-    the mode is structurally sound, not the exact delta."""
+    near the batch path — for BOTH reference frontends. Full-size
+    measurement recorded in VALIDATION.md: matched 0.7917 vs exact 0.8333
+    at n=360 (within ~1 SE); this reduced run (n=96, flagship-shape but
+    smaller reservoir for CI time) asserts the mode is structurally
+    sound, not the exact delta."""
     from lsm_tpu import pipeline
     from lsm_tpu.config import PipelineConfig
     from lsm_tpu.io import dataset
 
     cfg = PipelineConfig(
+        frontend=FrontendConfig(filterbank=filterbank),
         reservoir=ReservoirConfig(
             num_neurons=256, num_output_neurons=128, small_world_k=50,
             input_fanout=6,

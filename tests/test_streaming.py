@@ -76,6 +76,28 @@ def test_streaming_step_fused_matches_push_then_logits(rng):
     )
 
 
+def test_streaming_pipelined_stream_bit_equal(rng):
+    """kws.stream(chunks) (pipelined H2D/dispatch, depth in flight) yields
+    logits bit-equal to serial step() calls, at every depth, including
+    int16 PCM chunks and a depth larger than the chunk count."""
+    chunks = [
+        (rng.standard_normal((2, 1600)) * 0.2).astype(np.float32)
+        for _ in range(6)
+    ]
+    chunks[3] = (chunks[3] * 32768.0).astype(np.int16)  # mixed ingest dtypes
+    serial = _setup(n_streams=2)
+    expected = [serial.step(c) for c in chunks]
+    for depth in (1, 2, 3, 10):
+        kws = _setup(n_streams=2)
+        got = list(kws.stream(chunks, depth=depth))
+        assert len(got) == len(expected)
+        for e, g in zip(expected, got):
+            np.testing.assert_array_equal(e, g)
+        np.testing.assert_array_equal(
+            np.asarray(kws.buffer), np.asarray(serial.buffer)
+        )
+
+
 def test_streaming_step_accepts_int16_pcm(rng):
     """int16 PCM chunks == float chunks scaled by the decoders' exact
     /32768 convention, bit-equal logits."""

@@ -48,6 +48,25 @@ def main() -> None:
                              "chunk transfer (which dominates through the "
                              "relay: ~26 MB/step at 4096 f32 streams).")
     parser.add_argument("--cpu-devices", type=int, default=None)
+    parser.add_argument("--filterbank", default="gammatone",
+                        choices=["gammatone", "mel"],
+                        help="Frontend for the whole protocol (mel runs "
+                             "the per-hop STFT continuous frontend).")
+    parser.add_argument("--n-filters", type=int, default=128)
+    parser.add_argument("--norm-decay", type=float, default=0.1,
+                        help="norm_decay_db_per_bin for the continuous "
+                             "engines AND the matched calibration.")
+    parser.add_argument("--sweep", action="store_true",
+                        help="Matched-protocol sweep over norm-decay x "
+                             "chunk-ms (markdown table for "
+                             "docs/SENSITIVITY.md); trains the batch "
+                             "model once and re-runs calibration + eval "
+                             "per cell.")
+    parser.add_argument("--sweep-decays", type=float, nargs="+",
+                        default=[0.02, 0.05, 0.1, 0.2, 0.5])
+    parser.add_argument("--sweep-chunks", type=int, nargs="+",
+                        default=[50, 100, 200],
+                        help="chunk sizes in ms for --sweep.")
     args = parser.parse_args()
 
     from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
@@ -67,7 +86,13 @@ def main() -> None:
     from lsm_tpu.models.continuous import ContinuousKWS
     from lsm_tpu.models.streaming import StreamingKWS
 
-    cfg = PipelineConfig(batch_size=64)
+    from lsm_tpu.config import FrontendConfig
+
+    cfg = PipelineConfig(
+        frontend=FrontendConfig(filterbank=args.filterbank,
+                                n_filters=args.n_filters),
+        batch_size=64,
+    )
     fs = cfg.frontend.sample_rate
     chunk_len = fs * args.chunk_ms // 1000
     n_chunks = cfg.frontend.num_samples // chunk_len
@@ -109,13 +134,17 @@ def main() -> None:
                          scaler_mod.transform(ext.scaler, feats))
     )
 
-    def stream_features(x: np.ndarray, carry_in: bool) -> np.ndarray:
+    def stream_features(
+        x: np.ndarray, carry_in: bool, cl: int, decay: float
+    ) -> np.ndarray:
         """Stream utterances as parallel streams; return the continuous
         features at each utterance's last chunk (raw, unscaled)."""
         n = x.shape[0]
+        nc = cfg.frontend.num_samples // cl
         kws = ContinuousKWS(
             ext.params, result.params, ext.scaler, cfg.frontend,
-            cfg.feature_set, n_streams=n, chunk_len=chunk_len,
+            cfg.feature_set, n_streams=n, chunk_len=cl,
+            norm_decay_db_per_bin=decay,
         )
         if carry_in:
             # Stream a permuted copy first, no reset: every stream enters
@@ -125,14 +154,59 @@ def main() -> None:
             # rolling would hand most streams a same-class predecessor and
             # flatter the carry-in accuracy (advisor r3).
             prev = x[np.random.default_rng(12345).permutation(x.shape[0])]
-            for c in range(n_chunks):
-                kws.step(prev[:, c * chunk_len:(c + 1) * chunk_len])
-        for c in range(n_chunks):
-            kws.step(x[:, c * chunk_len:(c + 1) * chunk_len])
+            for c in range(nc):
+                kws.step(prev[:, c * cl:(c + 1) * cl])
+        for c in range(nc):
+            kws.step(x[:, c * cl:(c + 1) * cl])
         return kws.features()
 
+    # --- MATCHED protocol: readout trained on continuous features ----------
+    # Production deployments of continuous mode calibrate the readout on
+    # continuous-mode features (same reservoir, same stats — different
+    # operating distribution). This measures the mode's intrinsic
+    # discriminability rather than its drift from the batch distribution.
+    from lsm_tpu.models.continuous import fit_continuous_readout
+
+    def matched_accuracy(cl: int, decay: float) -> float:
+        p2, st2 = fit_continuous_readout(
+            ext.params, cfg.frontend, x_train, y_train, num_classes=12,
+            feature_set=cfg.feature_set, chunk_len=cl,
+            norm_decay_db_per_bin=decay,
+            l2_c=cfg.readout.l2_c, max_iter=cfg.readout.max_iter,
+            tol=cfg.readout.tol,
+        )
+        test_f = stream_features(x_test, True, cl, decay)
+        preds2 = np.asarray(
+            logistic.predict(
+                p2, scaler_mod.transform(st2, jnp.asarray(test_f))
+            )
+        )
+        return float((preds2 == y_test).mean())
+
+    se = float(np.sqrt(exact_acc * (1.0 - exact_acc) / max(n_test, 1)))
+
+    if args.sweep:
+        # One batch model, one table: every cell is the full matched
+        # calibration + carry-in eval at that (decay, chunk) point.
+        print(f"\nmatched-protocol sweep (n_test={n_test}, exact "
+              f"{exact_acc:.4f}, 1 SE ~ {se:.4f}, "
+              f"filterbank={args.filterbank}):\n", flush=True)
+        header = "| norm_decay_db_per_bin | " + " | ".join(
+            f"chunk {c} ms" for c in args.sweep_chunks
+        ) + " |"
+        print(header)
+        print("|" + "---|" * (1 + len(args.sweep_chunks)))
+        for decay in args.sweep_decays:
+            row = [f"| {decay:g} "]
+            for cms in args.sweep_chunks:
+                cl = fs * cms // 1000
+                acc2 = matched_accuracy(cl, decay)
+                row.append(f"| {acc2:.4f} ({acc2 - exact_acc:+.4f}) ")
+            print("".join(row) + "|", flush=True)
+        return
+
     for name, carry in (("cold", False), ("carry-in", True)):
-        tf = stream_features(x_test, carry)
+        tf = stream_features(x_test, carry, chunk_len, args.norm_decay)
         preds = np.asarray(
             logistic.predict(result.params,
                              scaler_mod.transform(ext.scaler, jnp.asarray(tf)))
@@ -143,26 +217,10 @@ def main() -> None:
               f"(delta vs exact {acc - exact_acc:+.4f}), "
               f"agreement with exact predictions {agree:.4f}", flush=True)
 
-    # --- MATCHED protocol: readout trained on continuous features ----------
-    # Production deployments of continuous mode calibrate the readout on
-    # continuous-mode features (same reservoir, same stats — different
-    # operating distribution). This measures the mode's intrinsic
-    # discriminability rather than its drift from the batch distribution.
-    from lsm_tpu.models.continuous import fit_continuous_readout
-
-    p2, st2 = fit_continuous_readout(
-        ext.params, cfg.frontend, x_train, y_train, num_classes=12,
-        feature_set=cfg.feature_set, chunk_len=chunk_len,
-        l2_c=cfg.readout.l2_c, max_iter=cfg.readout.max_iter,
-        tol=cfg.readout.tol,
-    )
-    test_f = stream_features(x_test, carry_in=True)
-    preds2 = np.asarray(
-        logistic.predict(p2, scaler_mod.transform(st2, jnp.asarray(test_f)))
-    )
-    acc2 = float((preds2 == y_test).mean())
+    acc2 = matched_accuracy(chunk_len, args.norm_decay)
     print(f"continuous matched  (continuous-trained readout): acc={acc2:.4f} "
-          f"(delta vs exact {acc2 - exact_acc:+.4f})", flush=True)
+          f"(delta vs exact {acc2 - exact_acc:+.4f} +- {se:.4f} SE)",
+          flush=True)
 
     if args.skip_bench:
         return
@@ -182,7 +240,8 @@ def main() -> None:
                 cfg.feature_set, n_streams=ns)),
             ("continuous", lambda: ContinuousKWS(
                 ext.params, result.params, ext.scaler, cfg.frontend,
-                cfg.feature_set, n_streams=ns, chunk_len=chunk_len)),
+                cfg.feature_set, n_streams=ns, chunk_len=chunk_len,
+                norm_decay_db_per_bin=args.norm_decay)),
         ):
             kws = mk()
             kws.step(chunk)                       # compile + warmup

@@ -48,6 +48,12 @@ def main() -> None:
                         help="Pre-place chunks on device: excludes the "
                              "per-step H2D, which dominates through the "
                              "relay at high stream counts.")
+    parser.add_argument("--pipelined", type=int, nargs="?", const=2,
+                        default=None, metavar="DEPTH",
+                        help="Serve host chunks through the pipelined "
+                             "driver (kws.stream, default depth 2): H2D "
+                             "of chunk k+1 and dispatch overlap step k's "
+                             "compute. Logits bit-equal to serial step().")
     args = parser.parse_args()
 
     from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
@@ -135,18 +141,32 @@ def main() -> None:
                 chunk = jnp.asarray(chunk)
             chunk.block_until_ready()
         kws.step(chunk)                     # compile + warmup (fused path)
-        times = []
-        for _ in range(args.steps):
+        if args.pipelined is not None:
+            # Steady-state pipelined wall: the generator overlaps H2D and
+            # dispatch across steps, so per-step wall is the LOOP time /
+            # steps (individual yields are not independently meaningful).
+            n_steps = args.steps
+            list(kws.stream([chunk] * 2, depth=args.pipelined))  # warm
             t0 = time.perf_counter()
-            kws.step(chunk).argmax(-1)
-            times.append(time.perf_counter() - t0)
-        best, med = min(times), sorted(times)[len(times) // 2]
+            for out in kws.stream([chunk] * n_steps, depth=args.pipelined):
+                out.argmax(-1)
+            wall = time.perf_counter() - t0
+            med = best = wall / n_steps
+            tag = f" [pipelined depth={args.pipelined}]"
+        else:
+            times = []
+            for _ in range(args.steps):
+                t0 = time.perf_counter()
+                kws.step(chunk).argmax(-1)
+                times.append(time.perf_counter() - t0)
+            best, med = min(times), sorted(times)[len(times) // 2]
+            tag = ""
         rtf = budget_ms / (med * 1e3)       # real-time factor per stream
         per_chip = ns / med / n_chips
         print(f"streams={ns:5d}: per-step best {best*1e3:6.1f} ms "
               f"median {med*1e3:6.1f} ms -> {rtf:6.1f}x real-time, "
               f"{ns / med:,.0f} stream-chunks/s"
-              f" ({per_chip:,.0f}/chip x {n_chips})", flush=True)
+              f" ({per_chip:,.0f}/chip x {n_chips}){tag}", flush=True)
 
 
 if __name__ == "__main__":
