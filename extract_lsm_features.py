@@ -32,9 +32,29 @@ def main() -> None:
     parser.add_argument("--input", type=str,
                         default=artifacts.SPIKE_DATASET_FILENAME)
     parser.add_argument("--output", type=str, default=artifacts.FEATURES_FILENAME)
+    parser.add_argument("--streaming-fit", action="store_true",
+                        help="Constant-memory fused stage 2+3 over a SHARDED "
+                             "spike dataset directory: shards stream from "
+                             "disk, each train batch folds into on-device "
+                             "ridge statistics, and the test rows stream "
+                             "through the solved readout — host memory stays "
+                             "flat at any corpus scale (100k+). Trains a "
+                             "closed-form ridge readout (the in-memory LBFGS "
+                             "logistic stays the default path); writes a "
+                             "deployable model bundle via --save-model "
+                             "instead of a features artifact.")
+    parser.add_argument("--ridge-alpha", type=float, default=1.0,
+                        help="L2 strength for the --streaming-fit ridge.")
+    parser.add_argument("--save-model", type=str, default=None,
+                        help="With --streaming-fit: save the trained model "
+                             "bundle (reservoir + scaler + readout) here.")
     args = parser.parse_args()
     setup_logging()
     cfg = build_config(args)
+
+    if args.streaming_fit:
+        _run_streaming_fit(args, cfg)
+        return
 
     try:
         ds = load_spike_dataset_any(Path(args.input))
@@ -61,6 +81,52 @@ def main() -> None:
                          stage="extract_features",
                          avg_participation=round(
                              result.diagnostics.avg_participation, 2))
+        metrics.close()
+
+
+def _run_streaming_fit(args, cfg) -> None:
+    from lsm_tpu.cli.common import resolve_commands
+    from lsm_tpu.io.sharded import ShardedSpikeDataset
+    from lsm_tpu.pipeline import extract_and_train_streaming
+
+    root = Path(args.input)
+    if not root.is_dir():
+        raise SystemExit(
+            "--streaming-fit requires a sharded spike dataset directory "
+            f"(create_dataset.py --sharded-output ...); got '{root}'. A .npz "
+            "artifact is already in memory — use the default path."
+        )
+    source = ShardedSpikeDataset(root)
+    print(f"Streaming {source.num_samples} samples from '{root}'")
+    names = resolve_commands(args)
+    metrics = metrics_from_args(args)
+    t0 = time.perf_counter()
+    result = extract_and_train_streaming(
+        cfg, source, class_names=names, alpha=args.ridge_alpha,
+        mesh=mesh_from_args(args),
+    )
+    print("\n--- Final Results ---")
+    print(f"Test Accuracy: {result.accuracy * 100:.2f}%\n")
+    print("Classification Report:")
+    print(result.report.render())
+    if args.save_model:
+        from lsm_tpu.io.model import save_model
+
+        save_model(
+            Path(args.save_model), result.params, result.readout,
+            result.scaler, cfg.frontend, cfg.feature_set, names,
+        )
+        print(f"Model bundle saved to '{args.save_model}'")
+    if metrics:
+        dt = time.perf_counter() - t0
+        n = result.n_train + result.n_test
+        metrics.emit("streaming_fit_wall_s", round(dt, 3),
+                     stage="extract_features", utterances=n,
+                     utt_per_sec=round(n / max(dt, 1e-9), 1))
+        metrics.emit("w_critico", result.w_critico, stage="extract_features")
+        metrics.emit("test_accuracy", result.accuracy,
+                     stage="extract_features", readout="ridge",
+                     ridge_alpha=args.ridge_alpha)
         metrics.close()
 
 

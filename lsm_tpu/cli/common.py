@@ -81,9 +81,15 @@ def force_cpu_devices(n: int) -> None:
 
 def setup_logging(verbose: bool = True) -> None:
     """CLI process setup: stdout logging, the JAX_PLATFORMS env contract,
-    and the persistent compile cache (every entry point calls this first,
-    so all three ride along)."""
+    the multi-host runtime (env-gated), and the persistent compile cache
+    (every entry point calls this first, so all four ride along)."""
     honor_jax_platforms_env()
+    # Multi-host (DCN) slices: LSM_TPU_COORDINATOR / LSM_TPU_DISTRIBUTED
+    # join the distributed runtime before any backend use, after which
+    # every stage's auto mesh spans the whole slice (parallel/mesh.py).
+    from lsm_tpu.parallel.mesh import maybe_init_distributed_from_env
+
+    maybe_init_distributed_from_env()
     enable_compile_cache()
     logging.basicConfig(
         level=logging.INFO if verbose else logging.WARNING,

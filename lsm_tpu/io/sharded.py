@@ -308,6 +308,44 @@ class ShardedSpikeDataset:
         if n_pending:
             yield pop(n_pending)
 
+    def labels(self) -> np.ndarray:
+        """All labels in file order, reading only each shard's label member.
+
+        npz members decompress lazily on access, so this never touches the
+        spike tensors — the split and class bookkeeping for the streaming
+        trainer (pipeline.extract_and_train_streaming) stay O(N) ints.
+        """
+        out = []
+        for s in self.manifest["shards"]:
+            with np.load(self.root / s["file"]) as data:
+                out.append(np.asarray(data["y_labels"]))
+        if not out:
+            return np.zeros((0,), np.int64)
+        return np.concatenate(out)
+
+    def gather_rows(self, indices: np.ndarray) -> np.ndarray:
+        """Spike rows at the given global indices, returned in the given
+        order, loading each touched shard at most once (e.g. the first-500
+        calibration subset, which is scattered across shards by the split)."""
+        indices = np.asarray(indices, np.int64)
+        bounds = np.cumsum(
+            [0] + [int(s["num_samples"]) for s in self.manifest["shards"]]
+        )
+        if indices.size and (indices.min() < 0 or indices.max() >= bounds[-1]):
+            raise IndexError("row index out of range for sharded dataset")
+        shard_of = np.searchsorted(bounds, indices, side="right") - 1
+        out = None
+        for si in np.unique(shard_of):
+            pos = np.nonzero(shard_of == si)[0]
+            shard = self._load_shard(self.manifest["shards"][si])
+            rows = shard.x_spikes[indices[pos] - bounds[si]]
+            if out is None:
+                out = np.empty((indices.size,) + rows.shape[1:], rows.dtype)
+            out[pos] = rows
+        if out is None:
+            return np.zeros((0,), np.float32)
+        return out
+
     def load_all(self) -> SpikeDataset:
         xs, ys = [], []
         for shard in self.iter_shards():

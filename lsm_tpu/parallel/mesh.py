@@ -73,5 +73,117 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> Tuple[np.nda
 
 
 def shard_batch(x: np.ndarray, mesh: Mesh) -> jax.Array:
-    """Place a host batch onto the mesh, sharded along the data axis."""
+    """Place a host batch onto the mesh, sharded along the data axis.
+
+    Multi-host: each process passes its PROCESS-LOCAL rows (the rows this
+    host loaded — utterance loading is naturally partitioned by host) and
+    the result is the global sharded array; single-host keeps the direct
+    device_put fast path."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            batch_sharding(mesh), np.asarray(x)
+        )
     return jax.device_put(x, batch_sharding(mesh))
+
+
+def shard_host_array(
+    x: np.ndarray, mesh: Mesh, spec: Optional[P] = None
+) -> jax.Array:
+    """A host array (the FULL value, present on every process) -> global
+    sharded array. Multi-host: each process materializes only its
+    addressable shards via the callback; single-host is a device_put."""
+    x = np.asarray(x)
+    sharding = NamedSharding(mesh, spec if spec is not None else P(DATA_AXIS))
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(x.shape, sharding, lambda i: x[i])
+    return jax.device_put(x, sharding)
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Replicate a (possibly pytree) host value onto every mesh device.
+
+    Multi-host: every process must hold the same value (reservoir params
+    are derived from a shared seed + calibration constant, so they do);
+    single-host is a plain replicated device_put."""
+    sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
+    return jax.device_put(tree, sharding)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (DCN) runtime — SURVEY.md sections 2.4 / 5.8
+# ---------------------------------------------------------------------------
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join the multi-host runtime (one call per process, before backend use).
+
+    On TPU pod slices `jax.distributed.initialize()` auto-discovers the
+    coordinator from the TPU metadata; elsewhere (multi-host CPU/GPU, or
+    explicit orchestration) pass the coordinator address + process grid.
+    After this, `jax.devices()` is the GLOBAL device list, so `auto_mesh`/
+    `make_mesh`/`multihost_mesh` span the whole slice and XLA routes
+    collectives over ICI within a host and DCN across hosts. Exercised by
+    tests/test_multihost.py on a 2-process x 2-CPU-device grid (gloo
+    collectives stand in for DCN).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def maybe_init_distributed_from_env() -> bool:
+    """Env-driven `init_distributed` for the CLI entry points.
+
+    Set LSM_TPU_COORDINATOR=host:port, LSM_TPU_NUM_PROCESSES and
+    LSM_TPU_PROCESS_ID on every process (or just LSM_TPU_DISTRIBUTED=1 on
+    a TPU pod, where initialize() auto-discovers) and every stage CLI
+    becomes a multi-host SPMD program with no code changes. Returns True
+    when the runtime was initialized."""
+    import os
+
+    coord = os.environ.get("LSM_TPU_COORDINATOR")
+    if coord:
+        init_distributed(
+            coordinator_address=coord,
+            num_processes=int(os.environ["LSM_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["LSM_TPU_PROCESS_ID"]),
+        )
+        return True
+    if os.environ.get("LSM_TPU_DISTRIBUTED"):
+        init_distributed()
+        return True
+    return False
+
+
+def multihost_mesh(n_model: int = 1) -> Mesh:
+    """(data, model) mesh over the global device list, laid out so every
+    model group is INTRA-process: the per-timestep TP all_gathers ride ICI,
+    while the data axis (per-utterance independent work + small psum'd
+    readout reductions) is what crosses DCN — the layout rule from the
+    scaling playbook: put the chatty axis on the fast interconnect.
+
+    Requires n_model to divide the per-process device count; devices are
+    ordered process-major so reshaping (n_data, n_model) row-major keeps
+    each model group within one process."""
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    local = jax.local_device_count()
+    if n_model > 1 and local % n_model != 0:
+        raise ValueError(
+            f"n_model={n_model} must divide the per-process device count "
+            f"({local}) so TP all_gathers stay intra-host"
+        )
+    n_data = len(devices) // n_model
+    grid = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))

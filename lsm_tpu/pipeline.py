@@ -143,6 +143,28 @@ def _pack_spike_bits(spikes: jax.Array) -> jax.Array:
     return packed.astype(jnp.uint8)
 
 
+@jax.jit
+def _unpack_spike_bits_dev(packed: jax.Array) -> jax.Array:
+    """(B, C, T//8) uint8 little-endian bit-packed -> (B, C, T) 0/1 uint8.
+
+    Device-side inverse of np.packbits(..., bitorder='little'): the
+    HOST->DEVICE twin of _pack_spike_bits/_spikes_to_host. The corpus-scale
+    streaming paths (extract_and_train_streaming, classify_spikes_
+    streaming) are H2D-bound through the TPU relay (~26 MB per 512-row
+    spike batch); packing on host with np.packbits and unpacking here cuts
+    the transfer 8x. Jitted standalone and jit-composable
+    (classify_spikes_streaming inlines it into its per-batch program).
+    """
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(packed.shape[0], packed.shape[1], -1)
+
+
+def _pack_batch_host(padded: np.ndarray) -> np.ndarray:
+    """Host-side bit-pack of a (B, C, T) 0/1 uint8 batch (T % 8 == 0)."""
+    return np.packbits(padded, axis=-1, bitorder="little")
+
+
 def _spikes_to_host(spikes_dev: jax.Array, n_real: int) -> np.ndarray:
     """Device spikes -> host (B, C, T) uint8, bit-packed for the transfer.
 
@@ -375,6 +397,24 @@ def stratified_split(
         return x[tr], x[te], y[tr], y[te]
 
 
+def _init_reservoir_params(cfg: PipelineConfig, n_channels: int, mean_weight: float):
+    """Reservoir init shared by the in-memory and streaming stage-2 paths."""
+    if cfg.reservoir.use_sparse():
+        # Scaled reservoirs (>=4096 neurons, N % 128 == 0): block-sparse
+        # weights + the fused sparse Pallas kernel — 2.9x the dense path at
+        # 10k neurons on v5e (docs/VALIDATION.md). extract_features and the
+        # DP shard_map path dispatch on the params type.
+        from lsm_tpu.models.sparse import init_reservoir_sparse
+
+        log.info(
+            "Using block-sparse reservoir (%d neurons)", cfg.reservoir.num_neurons
+        )
+        return init_reservoir_sparse(
+            cfg.reservoir, n_channels, mean_weight=mean_weight
+        )
+    return res.init_reservoir(cfg.reservoir, n_channels, mean_weight=mean_weight)
+
+
 def extract_lsm_features(
     cfg: PipelineConfig,
     ds: artifacts.SpikeDataset,
@@ -413,24 +453,7 @@ def extract_lsm_features(
             cfg.reservoir.leak_variance_divisor,
         )
 
-    n_channels = ds.x_spikes.shape[1]
-    if cfg.reservoir.use_sparse():
-        # Scaled reservoirs (>=4096 neurons, N % 128 == 0): block-sparse
-        # weights + the fused sparse Pallas kernel — 2.9x the dense path at
-        # 10k neurons on v5e (docs/VALIDATION.md). extract_features and the
-        # DP shard_map path dispatch on the params type.
-        from lsm_tpu.models.sparse import init_reservoir_sparse
-
-        log.info(
-            "Using block-sparse reservoir (%d neurons)", cfg.reservoir.num_neurons
-        )
-        params = init_reservoir_sparse(
-            cfg.reservoir, n_channels, mean_weight=mean_weight
-        )
-    else:
-        params = res.init_reservoir(
-            cfg.reservoir, n_channels, mean_weight=mean_weight
-        )
+    params = _init_reservoir_params(cfg, ds.x_spikes.shape[1], mean_weight)
 
     report = None
     if run_diagnostics:
@@ -444,7 +467,7 @@ def extract_lsm_features(
     if mesh is not None:
         from lsm_tpu.parallel.sharded import extract_features_dp
 
-        params = jax.device_put(params, meshlib.replicated(mesh))
+        params = meshlib.replicate_to_mesh(params, mesh)
 
     if cfg.check and mesh is None:
         # --check debug mode: the checkify-instrumented XLA scan paths
@@ -613,15 +636,19 @@ def classify_spikes_streaming(
     if mesh is not None:
         from lsm_tpu.parallel.sharded import extract_features_dp
 
-        params = jax.device_put(params, meshlib.replicated(mesh))
+        params = meshlib.replicate_to_mesh(params, mesh)
 
     # ONE jitted program per batch (per-op dispatch latency through the TPU
     # relay would otherwise dominate), and predictions stay on device until
     # the end so host-side shard decompression of batch k+1 overlaps the
-    # device compute of batch k (JAX async dispatch).
+    # device compute of batch k (JAX async dispatch). Single-device batches
+    # travel bit-packed (8x less H2D — the corpus path is ingest-bound
+    # through the relay) and unpack inside the jitted program.
     @jax.jit
     def _classify(p, spikes_dev):
         if mesh is None:
+            if packed_h2d:           # trace-time constant (set before call 1)
+                spikes_dev = _unpack_spike_bits_dev(spikes_dev)
             feats = res.extract_features(p, spikes_dev, keys)
         else:
             feats = extract_features_dp(p, spikes_dev, keys, mesh)
@@ -631,13 +658,22 @@ def classify_spikes_streaming(
 
     preds_dev, n_reals, labels_out = [], [], []
     n_total = 0
+    packed_h2d = None
     t0 = time.perf_counter()
     for chunk in source.iter_batches(bs):
         padded, n_real = _pad_batch(chunk.x_spikes, bs)
-        preds_dev.append(_classify(params, _place_batch(padded, mesh)))
+        if packed_h2d is None:
+            packed_h2d = mesh is None and padded.shape[-1] % 8 == 0
+        batch = _pack_batch_host(padded) if packed_h2d else padded
+        preds_dev.append(_classify(params, _place_batch(batch, mesh)))
         n_reals.append(n_real)
         labels_out.append(chunk.y_labels[:n_real])
         n_total += n_real
+        if len(preds_dev) % 8 == 0:
+            # Backpressure: bound the async in-flight queue (see
+            # extract_and_train_streaming) — without it the host stages
+            # every remaining batch's H2D buffer at corpus scale.
+            preds_dev[-1].block_until_ready()
     preds_out = [
         np.asarray(p)[:n] for p, n in zip(preds_dev, n_reals)
     ]
@@ -645,6 +681,244 @@ def classify_spikes_streaming(
     log.info("Classified %d utterances in %.2fs (%.1f utt/s)",
              n_total, dt, n_total / max(dt, 1e-9))
     return np.concatenate(preds_out), np.concatenate(labels_out)
+
+
+# ---------------------------------------------------------------------------
+# Constant-memory training at corpus scale (streamed stage 2+3)
+# ---------------------------------------------------------------------------
+
+def _iter_masked_batches(source, mask: np.ndarray, batch_size: int):
+    """Stream only mask-selected rows of a sharded corpus as fixed-size
+    (x, y) batches (last may be short), compacting across shard edges.
+
+    Rows come out in storage order; each shard is loaded once. This is what
+    lets the streaming trainer featurize every row exactly once (pass 1
+    walks the train rows, pass 2 the test rows) instead of masking mixed
+    batches and paying the reservoir simulation twice."""
+    pending: list = []
+    n_pending = 0
+    offset = 0
+
+    def pop(n: int):
+        nonlocal n_pending
+        parts_x, parts_y = [], []
+        need = n
+        while need:
+            x, y, off = pending[0]
+            take = min(need, x.shape[0] - off)
+            parts_x.append(x[off:off + take])
+            parts_y.append(y[off:off + take])
+            need -= take
+            n_pending -= take
+            if off + take == x.shape[0]:
+                pending.pop(0)
+            else:
+                pending[0] = (x, y, off + take)
+        if len(parts_x) == 1:
+            return parts_x[0], parts_y[0]
+        return np.concatenate(parts_x), np.concatenate(parts_y)
+
+    for shard in source.iter_shards():
+        m = np.asarray(mask[offset:offset + shard.x_spikes.shape[0]])
+        offset += shard.x_spikes.shape[0]
+        if not m.any():
+            continue
+        x = shard.x_spikes[m]
+        pending.append((x, shard.y_labels[m], 0))
+        n_pending += x.shape[0]
+        while n_pending >= batch_size:
+            yield pop(batch_size)
+    if n_pending:
+        yield pop(n_pending)
+
+
+@dataclasses.dataclass
+class StreamingTrainResult:
+    accuracy: float
+    report: metrics.ClassificationReport
+    readout: logistic.LogisticParams
+    scaler: "scaler.ScalerState"
+    params: res.ReservoirParams
+    w_critico: float
+    mean_weight: float
+    n_train: int
+    n_test: int
+    diagnostics: Optional[DiagnosticsReport]
+
+
+def extract_and_train_streaming(
+    cfg: PipelineConfig,
+    source,
+    class_names: Optional[Sequence[str]] = None,
+    alpha: float = 1.0,
+    run_diagnostics: bool = True,
+    mesh: MeshArg = "auto",
+) -> StreamingTrainResult:
+    """Fused stage 2+3 over a sharded spike corpus with flat host memory.
+
+    The in-memory path (extract_lsm_features + train_and_evaluate) holds
+    both split feature matrices on host and hands the full matrix to the
+    LBFGS fit — ~0.8 GB at the 100k-utterance BASELINE configs[4] scale.
+    This path never materializes the corpus anywhere: shards stream from
+    disk (`source` is a ShardedSpikeDataset or anything with iter_shards/
+    labels/gather_rows), pass 1 folds each train batch's reservoir features
+    into O(D^2) device-side ridge statistics
+    (readout.streaming_fit.RidgeAccumState), and pass 2 streams the test
+    rows through the solved readout. Each row is featurized exactly once.
+
+    Semantics vs the in-memory path: identical split (stratified_split on
+    indices — train_test_split selects by (y, seed) only), identical
+    calibration subset (the first <=500 train rows in split order,
+    extract_lsm_features.py:40-44 / here pipeline.extract_lsm_features),
+    identical scaler (moments over train rows), and a readout that matches
+    fit_ridge on the scaled in-memory matrix to float tolerance
+    (tests/test_streaming_fit.py). The ridge is the documented closed-form
+    alternative to the reference's LBFGS logistic (train_classifier.py:36-41)
+    — the exact LBFGS path stays the default at reference scale.
+
+    Under a mesh, feature batches shard over the data axis and the
+    accumulator updates reduce into replicated state via XLA all-reduces
+    (the streaming analogue of fit_ridge_dp's psums)."""
+    mesh = _resolve_mesh(mesh)
+    labels_all = np.asarray(source.labels())
+    n = labels_all.shape[0]
+    idx_tr, idx_te, _, _ = stratified_split(
+        np.arange(n), labels_all, cfg.test_size, cfg.split_seed
+    )
+    train_mask = np.zeros(n, bool)
+    train_mask[np.asarray(idx_tr)] = True
+
+    calib = source.gather_rows(np.asarray(idx_tr)[: min(500, len(idx_tr))])
+    calib_mesh = mesh
+    if mesh is not None and len(calib) % mesh.shape[meshlib.DATA_AXIS] != 0:
+        calib_mesh = None
+    wc, mean_weight = calibrate_weight(
+        cfg.reservoir, _place_batch(calib, calib_mesh), cfg.multiplier
+    )
+    log.info("Theoretical w_critico: %.8f", wc)
+    log.info("Using weight: %.8f (multiplier: %.2f)", mean_weight, cfg.multiplier)
+    params = _init_reservoir_params(cfg, calib.shape[1], mean_weight)
+
+    report = None
+    if run_diagnostics:
+        report = run_network_diagnostics(params, calib)
+        log.info("\n%s", report.render())
+
+    keys = tuple(FEATURE_SETS[cfg.feature_set])
+    bs = _effective_batch(cfg.batch_size, mesh)
+    if mesh is not None:
+        from lsm_tpu.parallel.sharded import extract_features_dp
+
+        params = meshlib.replicate_to_mesh(params, mesh)
+
+    pack_h2d: Optional[bool] = None
+
+    @jax.jit
+    def _extract_jit(p, batch_dev):
+        if mesh is None:
+            if pack_h2d:             # trace-time constant (set before call 1)
+                batch_dev = _unpack_spike_bits_dev(batch_dev)
+            return res.extract_features(p, batch_dev, keys)
+        return extract_features_dp(p, batch_dev, keys, mesh)
+
+    def extract(padded: np.ndarray) -> jax.Array:
+        nonlocal pack_h2d
+        if pack_h2d is None:
+            pack_h2d = mesh is None and padded.shape[-1] % 8 == 0
+        if pack_h2d:
+            # 8x smaller H2D: bit-pack on host, unpack inside the jitted
+            # program (the streaming passes are H2D-bound through the TPU
+            # relay — ~26 MB per raw 512-row batch vs ~3.3 MB packed).
+            batch = _pack_batch_host(padded)
+        else:
+            batch = padded
+        feats = _extract_jit(params, _place_batch(batch, mesh))
+        if cfg.check:
+            # --check debug mode: host-side validation per batch (costs a
+            # D2H sync; the checkify-instrumented path needs the full
+            # matrix and does not apply to the streaming accumulator).
+            _check_features_host(
+                np.asarray(feats), "extract_and_train_streaming"
+            )
+        return feats
+
+    from lsm_tpu.readout.streaming_fit import (
+        finalize_ridge, init_ridge_accum, update_ridge_accum,
+    )
+
+    names = list(class_names or cfg.commands)
+    k = len(names)
+    state = None
+    n_train = 0
+    n_batches = 0
+    t0 = time.perf_counter()
+    for xb, yb in _iter_masked_batches(source, train_mask, bs):
+        padded, n_real = _pad_batch(xb, bs)
+        ypad, _ = _pad_batch(np.asarray(yb, np.int32), bs)
+        wts = np.zeros(bs, np.float32)
+        wts[:n_real] = 1.0
+        feats = extract(padded)
+        if state is None:
+            w_dev = jnp.asarray(wts)
+            shift = jnp.sum(
+                feats * w_dev[:, None], axis=0
+            ) / jnp.sum(w_dev)
+            state = init_ridge_accum(shift, k)
+        state = update_ridge_accum(
+            state, feats, jnp.asarray(ypad), jnp.asarray(wts)
+        )
+        n_train += n_real
+        n_batches += 1
+        if n_batches % 8 == 0:
+            # Backpressure: without a periodic sync, async dispatch lets the
+            # host run arbitrarily far ahead of the (relay-fronted) device,
+            # holding EVERY in-flight H2D spike buffer alive — measured
+            # multi-GB RSS growth at 100k scale. One sync per 8 batches
+            # bounds the queue at ~8 staged batches while still overlapping
+            # host shard prep with device compute.
+            state.n.block_until_ready()
+    if state is None:
+        raise ValueError("streaming fit: no training rows in corpus")
+    readout_params, scaler_state = finalize_ridge(state, alpha=alpha)
+    dt = time.perf_counter() - t0
+    log.info("Streaming ridge fit: %d train rows in %.2fs (%.1f utt/s)",
+             n_train, dt, n_train / max(dt, 1e-9))
+
+    preds_dev, n_reals, y_true = [], [], []
+    t0 = time.perf_counter()
+    for xb, yb in _iter_masked_batches(source, ~train_mask, bs):
+        padded, n_real = _pad_batch(xb, bs)
+        feats = extract(padded)
+        preds_dev.append(
+            logistic.predict(
+                readout_params, scaler.transform(scaler_state, feats)
+            )
+        )
+        n_reals.append(n_real)
+        y_true.append(np.asarray(yb))
+        if len(preds_dev) % 8 == 0:      # same backpressure as the fit pass
+            preds_dev[-1].block_until_ready()
+    preds = np.concatenate(
+        [np.asarray(p)[:nr] for p, nr in zip(preds_dev, n_reals)]
+    )
+    y_test = np.concatenate(y_true)
+    dt = time.perf_counter() - t0
+    log.info("Streaming eval: %d test rows in %.2fs (%.1f utt/s)",
+             len(y_test), dt, len(y_test) / max(dt, 1e-9))
+    rep = metrics.classification_report(y_test, preds, names)
+    log.info("Test Accuracy: %.2f%%", rep.accuracy * 100)
+    return StreamingTrainResult(
+        accuracy=rep.accuracy,
+        report=rep,
+        readout=readout_params,
+        scaler=scaler_state,
+        params=params,
+        w_critico=wc,
+        mean_weight=mean_weight,
+        n_train=n_train,
+        n_test=int(len(y_test)),
+        diagnostics=report,
+    )
 
 
 # ---------------------------------------------------------------------------

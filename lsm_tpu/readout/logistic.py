@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 class LogisticParams(NamedTuple):
@@ -175,16 +175,15 @@ def fit_logistic_dp(
     state stay replicated. Padded rows carry weight 0, so the optimized
     objective is exactly the single-device one.
     """
-    from lsm_tpu.parallel.mesh import DATA_AXIS
+    from lsm_tpu.parallel.mesh import DATA_AXIS, shard_host_array
 
     n_data = mesh.shape[DATA_AXIS]
     xp, yp, wp = _pad_for_mesh(
         np.asarray(x, np.float32), np.asarray(y, np.int32), n_data
     )
-    shard = NamedSharding(mesh, P(DATA_AXIS))
-    xs = jax.device_put(xp, shard)
-    ys = jax.device_put(yp, shard)
-    ws = jax.device_put(wp, shard)
+    xs = shard_host_array(xp, mesh)
+    ys = shard_host_array(yp, mesh)
+    ws = shard_host_array(wp, mesh)
     return fit_logistic(
         xs, ys, num_classes, l2_c=l2_c, max_iter=max_iter, tol=tol, weights=ws
     )
@@ -204,7 +203,7 @@ def fit_ridge_dp(
     device solves the replicated (D, D) system. Matches `fit_ridge` on the
     same data to float tolerance.
     """
-    from lsm_tpu.parallel.mesh import DATA_AXIS
+    from lsm_tpu.parallel.mesh import DATA_AXIS, shard_host_array
 
     n_data = mesh.shape[DATA_AXIS]
     xp, yp, wp = _pad_for_mesh(
@@ -239,10 +238,9 @@ def fit_ridge_dp(
         out_specs=(P(), P()),
         check_vma=False,
     ))
-    shard = NamedSharding(mesh, P(DATA_AXIS))
     w, b = fn(
-        jax.device_put(xp, shard),
-        jax.device_put(yp, shard),
-        jax.device_put(wp, shard),
+        shard_host_array(xp, mesh),
+        shard_host_array(yp, mesh),
+        shard_host_array(wp, mesh),
     )
     return LogisticParams(w=w, b=b)
