@@ -300,6 +300,31 @@ def main() -> None:
             log(f"{name}: {ns} streams, median {med * 1e3:.1f} ms/step "
                 f"-> {ns / med:,.0f} stream-chunks/s "
                 f"(device-only {ns / max(med - floor, 1e-9):,.0f})")
+
+        # Host-ingest serving wall with the production wire format
+        # (uint8 mu-law, 1 byte/sample, decoded in the jitted step) —
+        # the number an always-on server actually sees. Relay H2D
+        # bandwidth varies session-to-session (docs/VALIDATION.md
+        # "Streaming serving ingest"), so compare the device_only
+        # extras across rounds and treat this as the deployment figure.
+        if mesh is None:
+            from lsm_tpu.ops.ulaw import encode_ulaw_f32
+
+            wire = encode_ulaw_f32(chunk_np)
+            kws_u = ContinuousKWS(params, readout, sc, fcfg, n_streams=ns,
+                                  chunk_len=chunk_len)
+            kws_u.step(wire)                    # compile + warmup
+            ts = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                kws_u.step(wire)
+                ts.append(time.perf_counter() - t0)
+            med = sorted(ts)[len(ts) // 2]
+            streaming_extra["streaming_continuous_ulaw_ingest_chunks_per_sec"] = (
+                round(ns / med, 1)
+            )
+            log(f"streaming_continuous ulaw host-ingest: median "
+                f"{med * 1e3:.1f} ms/step -> {ns / med:,.0f} chunks/s")
     except Exception as exc:  # pragma: no cover
         log(f"streaming bench skipped: {exc}")
 

@@ -452,8 +452,9 @@ class ContinuousKWS:
             return v, refrac, s_prev, seg, win_new
 
         def _step_local(p, st: ContinuousState, chunk, w, b, mean, scale):
-            if chunk.dtype == jnp.int16:
-                chunk = chunk.astype(jnp.float32) / 32768.0
+            from lsm_tpu.models.streaming import decode_pcm_device
+
+            chunk = decode_pcm_device(chunk)  # f32 / int16 / uint8 mu-law
             spikes, iir, e_tail, hyst, norm_hi, norm_lo = _featurize_chunk(
                 chunk, st
             )
@@ -646,7 +647,9 @@ class ContinuousKWS:
     def step(self, chunk) -> np.ndarray:
         """Ingest one (n_streams, chunk_len) chunk and evaluate: ONE fused
         dispatch carrying all stream state on device. Accepts float32
-        samples in [-1, 1] or raw int16 PCM (exact /32768 on device). A
+        samples in [-1, 1], raw int16 PCM (exact /32768 on device), or
+        uint8 G.711 mu-law (ops/ulaw.py — 1 byte/sample, the
+        ingest-bound serving format). A
         jax.Array chunk is trusted as already device-resident (and, under
         a mesh, already stream-sharded) — the zero-copy ingest path for
         callers that pipeline their own H2D transfers."""

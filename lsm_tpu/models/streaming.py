@@ -54,6 +54,8 @@ def normalize_ingest_chunk(
 
     float inputs are cast to f32 ([-1, 1] samples); int16 stays int16
     (the jitted step converts with the decoders' exact /32768 on device);
+    uint8 is G.711 mu-law PCM and stays uint8 (decoded on device,
+    ops/ulaw.py — one byte per sample, the ingest-bound serving format);
     other integer dtypes are rejected rather than silently cast unscaled.
     Exact mode rejects chunks LONGER than the analysis window (they would
     silently grow the buffer and recompile everything); continuous mode
@@ -78,11 +80,30 @@ def normalize_ingest_chunk(
             f"chunk length {chunk.shape[-1]} exceeds the analysis "
             f"window ({max_len} samples)"
         )
-    if chunk.dtype == np.int16:
+    if chunk.dtype == np.int16 or chunk.dtype == np.uint8:
         return chunk
     if np.issubdtype(chunk.dtype, np.integer):
-        raise TypeError(f"integer PCM chunks must be int16, got {chunk.dtype}")
+        raise TypeError(
+            "integer PCM chunks must be int16 (linear) or uint8 (mu-law), "
+            f"got {chunk.dtype}"
+        )
     return chunk.astype(np.float32)
+
+
+def decode_pcm_device(chunk: jnp.ndarray) -> jnp.ndarray:
+    """On-device ingest decode shared by both engines' jitted steps.
+
+    f32 passes through; int16 is linear PCM (the decoders' exact /32768,
+    io/wav.py:59); uint8 is G.711 mu-law (ops/ulaw.py). Trace-time dtype
+    dispatch — each wire format compiles its own step program once.
+    """
+    if chunk.dtype == jnp.int16:
+        return chunk.astype(jnp.float32) / 32768.0
+    if chunk.dtype == jnp.uint8:
+        from lsm_tpu.ops.ulaw import decode_ulaw_device
+
+        return decode_ulaw_device(chunk)
+    return chunk
 
 
 def stream_pipelined(kws, chunks, depth: int = 2):
@@ -92,10 +113,17 @@ def stream_pipelined(kws, chunks, depth: int = 2):
     calling `kws.step(chunk)` serially — same jitted program, same order —
     but with up to `depth` steps in flight: chunk k+1's H2D transfer and
     step k+1's dispatch are enqueued BEFORE the host blocks on step k's
-    logits, so the transfer rides under the device compute and the relay
-    round-trips of consecutive steps overlap instead of serializing.
-    (VERDICT r3 item 1: at 1024-4096 streams the serial step wall is
-    H2D-ingest-bound — ~26 MB/step at 4096 f32 streams — for both modes.)
+    logits, so on hosts with real async transfer engines (direct PCIe)
+    the next transfer rides under the device compute.
+
+    Measured caveat (docs/VALIDATION.md "Streaming serving ingest"): the
+    axon relay fronting this dev TPU serializes transport FIFO on one
+    connection, so enqueueing chunk k+1's H2D before reading step k's
+    logits puts the read BEHIND the wire transfer (head-of-line) — depth-2
+    pipelining measured ~1.3-1.5x SLOWER than serial step() there. Through
+    such a relay, serial step() with a compressed wire format (int16 or
+    uint8 mu-law chunks — the shared `normalize_ingest_chunk` contract) is
+    the optimal serving pattern; this driver is for production hosts.
 
     JAX makes this safe without explicit futures: device_put and jitted
     dispatch are asynchronous, and only `np.asarray(logits)` blocks. Each
@@ -214,11 +242,10 @@ class StreamingKWS:
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _step(p, buffer, chunk, w, b, mean, scale):
-            if chunk.dtype == jnp.int16:
-                # PCM16 ingest: convert on device with the decoders'
-                # exact scaling (io/wav.py:59, native/wavio.cpp) — the
-                # host->device transfer moves half the bytes.
-                chunk = chunk.astype(jnp.float32) / 32768.0
+            # Compressed-wire ingest (int16 linear / uint8 mu-law)
+            # converts on device — the H2D transfer moves 2x/4x fewer
+            # bytes than f32 and the serving wall is ingest-bound.
+            chunk = decode_pcm_device(chunk)
             n = chunk.shape[-1]
             buffer = jnp.concatenate([buffer[:, n:], chunk], axis=-1)
             return buffer, _eval_inner(p, buffer, w, b, mean, scale)
@@ -241,11 +268,16 @@ class StreamingKWS:
     def push(self, chunk: np.ndarray) -> None:
         """Append a (n_streams, chunk_len) audio chunk to the ring buffer.
 
-        Same ingest contract as step(): f32 samples or int16 PCM (scaled
-        by the exact decoder convention on the host here)."""
+        Same ingest contract as step(): f32 samples, int16 PCM, or uint8
+        mu-law (decoded with the exact device conventions on the host
+        here)."""
         chunk = self._normalize_chunk(chunk)
         if chunk.dtype == np.int16:
             chunk = chunk.astype(np.float32) / 32768.0
+        elif chunk.dtype == np.uint8:
+            from lsm_tpu.ops.ulaw import decode_ulaw_reference
+
+            chunk = decode_ulaw_reference(chunk).astype(np.float32) / 32768.0
         self.buffer = _push_chunk(
             self.buffer, self._place_chunk(chunk), self.fcfg, self.keys
         )

@@ -35,6 +35,18 @@ from lsm_tpu.cli.common import setup_logging
 from lsm_tpu.io import model as model_io
 
 
+def _to_wire(chunk: np.ndarray, wire: str) -> np.ndarray:
+    """Encode an f32 chunk into the requested ingest wire format (the
+    demo stands in for a network producer; decode happens on device)."""
+    if wire == "pcm16":
+        return np.clip(chunk * 32768.0, -32768, 32767).astype(np.int16)
+    if wire == "ulaw":
+        from lsm_tpu.ops.ulaw import encode_ulaw_f32
+
+        return encode_ulaw_f32(chunk)
+    return chunk
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(
         description="Serve WAVs as parallel keyword-spotting streams."
@@ -50,6 +62,13 @@ def main() -> None:
     parser.add_argument("--chunk-ms", type=int, default=100)
     parser.add_argument("--max-streams", type=int, default=1024)
     parser.add_argument("--output", type=str, default="stream_predictions.npz")
+    parser.add_argument("--wire", type=str, default="f32",
+                        choices=["f32", "pcm16", "ulaw"],
+                        help="Wire format fed to step(): f32 samples, "
+                             "int16 PCM (2x fewer ingest bytes), or uint8 "
+                             "G.711 mu-law (4x fewer; the production "
+                             "always-on format — decoded on device, zero "
+                             "measured accuracy cost, ops/ulaw.py).")
     parser.add_argument("--per-chunk", action="store_true",
                         help="Print the running prediction after every "
                              "chunk (default: final prediction per stream).")
@@ -173,10 +192,12 @@ def main() -> None:
         # (only the stream's very first second is warmup).
         preroll = np.roll(audio, 1, axis=0)
         for c in range(n_chunks):
-            kws.step(preroll[:, c * chunk_len:(c + 1) * chunk_len])
+            kws.step(_to_wire(preroll[:, c * chunk_len:(c + 1) * chunk_len],
+                              args.wire))
     logits = None
     for c in range(n_chunks):
-        logits = kws.step(audio[:, c * chunk_len:(c + 1) * chunk_len])
+        logits = kws.step(_to_wire(audio[:, c * chunk_len:(c + 1) * chunk_len],
+                                   args.wire))
         if args.per_chunk:
             preds = np.argmax(logits[:n_real], axis=-1)
             head = " ".join(names[p] for p in preds[:8])

@@ -92,6 +92,20 @@ def test_stream_kws_cli_end_to_end(tmp_path):
     acc_c = float((cont["predictions"] == cont["labels"]).mean())
     assert acc_c > 0.6, acc_c
 
+    # mu-law wire format: the serving answers must not move more than the
+    # codec's quantization would allow on this easy corpus (same bundle,
+    # same audio, uint8 wire decoded on device).
+    r = _run(
+        [str(REPO / "stream_kws.py"), "--model", "m.npz",
+         "--data-dir", str(corpus), "--single-device",
+         "--wire", "ulaw", "--output", "ulaw.npz"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    uw = np.load(tmp_path / "ulaw.npz", allow_pickle=False)
+    acc_u = float((uw["predictions"] == uw["labels"]).mean())
+    assert acc_u > 0.8, acc_u
+
     # Guard: a batch bundle cannot serve continuous mode (and vice versa).
     r = _run(
         [str(REPO / "stream_kws.py"), "--model", "m.npz",

@@ -30,6 +30,10 @@ def main() -> None:
     parser.add_argument("--pcm16", action="store_true",
                         help="Feed raw int16 PCM chunks (half the ingest "
                              "bytes; device-side conversion, bit-equal).")
+    parser.add_argument("--ulaw", action="store_true",
+                        help="Feed uint8 G.711 mu-law chunks (quarter the "
+                             "f32 ingest bytes; device-side decode, "
+                             "ops/ulaw.py).")
     parser.add_argument("--mesh", action="store_true",
                         help="Shard the stream axis over all devices "
                              "(shard_map data-parallel scale-out; reports "
@@ -129,6 +133,10 @@ def main() -> None:
         chunk = (rng.standard_normal((ns, chunk_len)) * 0.1).astype(np.float32)
         if args.pcm16:
             chunk = (chunk * 32768.0).astype(np.int16)
+        elif args.ulaw:
+            from lsm_tpu.ops.ulaw import encode_ulaw_f32
+
+            chunk = encode_ulaw_f32(chunk)
         if args.device_resident:
             if mesh is not None:
                 # Shard along streams: a single-device jnp.asarray would
