@@ -65,8 +65,10 @@ def main() -> None:
     parser.add_argument("--sweep-decays", type=float, nargs="+",
                         default=[0.02, 0.05, 0.1, 0.2, 0.5])
     parser.add_argument("--sweep-chunks", type=int, nargs="+",
-                        default=[50, 100, 200],
-                        help="chunk sizes in ms for --sweep.")
+                        default=[100, 200, 400],
+                        help="chunk sizes in ms for --sweep (must span "
+                             "whole rate windows — 100 ms at the default "
+                             "10-window grid; invalid combos print n/a).")
     args = parser.parse_args()
 
     from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
@@ -200,7 +202,14 @@ def main() -> None:
             row = [f"| {decay:g} "]
             for cms in args.sweep_chunks:
                 cl = fs * cms // 1000
-                acc2 = matched_accuracy(cl, decay)
+                try:
+                    acc2 = matched_accuracy(cl, decay)
+                except ValueError as e:
+                    # e.g. chunk shorter than a rate window — structurally
+                    # unsupported grid, not an accuracy data point.
+                    row.append(f"| n/a ({e}) "
+                               if "rate window" not in str(e) else "| n/a ")
+                    continue
                 row.append(f"| {acc2:.4f} ({acc2 - exact_acc:+.4f}) ")
             print("".join(row) + "|", flush=True)
         return
