@@ -484,8 +484,17 @@ class ContinuousKWS:
             )
             return new_st, logits
 
+        from lsm_tpu.models.streaming import compact_output_device
+
+        def _step_local_compact(p, st, chunk, w, b, mean, scale):
+            new_st, logits = _step_local(p, st, chunk, w, b, mean, scale)
+            return new_st, compact_output_device(logits)
+
         if mesh is None:
             self._step = jax.jit(_step_local, donate_argnums=(1,))
+            self._step_compact = jax.jit(
+                _step_local_compact, donate_argnums=(1,)
+            )
         else:
             names = (
                 ("w_blocks", "src_idx", "w_in", "leak")
@@ -515,6 +524,33 @@ class ContinuousKWS:
                           st, chunk, w, b, mean, scale)
 
             self._step = jax.jit(_mesh_step, donate_argnums=(1,))
+
+            sm_compact = shard_map(
+                lambda p_arrs, st, chunk, w, b, mean, scale:
+                    _step_local_compact(
+                        dataclasses.replace(
+                            params, **dict(zip(names, p_arrs))
+                        ),
+                        st, chunk, w, b, mean, scale,
+                    ),
+                mesh=mesh,
+                in_specs=(
+                    (P(),) * len(names),
+                    state_specs,
+                    P(DATA_AXIS, None),
+                    P(), P(), P(), P(),
+                ),
+                out_specs=(state_specs, P(DATA_AXIS, None)),
+                check_vma=False,
+            )
+
+            def _mesh_step_compact(p, st, chunk, w, b, mean, scale):
+                return sm_compact(tuple(getattr(p, nm) for nm in names),
+                                  st, chunk, w, b, mean, scale)
+
+            self._step_compact = jax.jit(
+                _mesh_step_compact, donate_argnums=(1,)
+            )
 
         # Frontend-only entry point (no state donation): used by the
         # bit-level featurizer oracles in tests/test_continuous.py.
@@ -684,6 +720,26 @@ class ContinuousKWS:
 
     def predict(self, chunk: np.ndarray) -> np.ndarray:
         return np.argmax(self.step(chunk), axis=-1)
+
+    def step_compact(self, chunk):
+        """step() with the compact decision output: (preds int32 (B,),
+        margin f32 (B,)) — top-1 class + top-1/top-2 logit margin, packed
+        on device into one (B, 2) uint16 buffer so the D2H is 4
+        bytes/stream instead of n_classes x 4 (streaming.
+        compact_output_device). Same ingest contract and state advance as
+        step(); preds bit-equal to step(chunk).argmax(-1)."""
+        from lsm_tpu.models.streaming import unpack_compact_output
+
+        if isinstance(chunk, jax.Array):
+            dev = chunk
+        else:
+            dev = self._place_chunk(self._normalize_chunk(chunk))
+        self.state, packed = self._step_compact(
+            self.params, self.state, dev,
+            self.readout.w, self.readout.b,
+            self.scaler_state.mean, self.scaler_state.scale,
+        )
+        return unpack_compact_output(packed)
 
     def reset(self, stream_idx=None) -> None:
         """Re-initialize stream state (parity with StreamingKWS.reset).

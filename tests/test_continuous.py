@@ -707,3 +707,38 @@ def test_continuous_mesh_matches_single_device(rng):
     np.testing.assert_array_equal(
         np.asarray(km.state.v), np.asarray(ks.state.v)
     )
+
+
+def test_continuous_step_compact_matches_step(rng):
+    """step_compact: preds bit-equal to argmax(step logits), margin is the
+    f16-rounded top-1/top-2 gap, state advances identically (the compact
+    program is the same step with a packed output head)."""
+    a, b = _setup(n_streams=4), _setup(n_streams=4)
+    for _ in range(3):
+        chunk = (rng.standard_normal((4, 1600)) * 0.2).astype(np.float32)
+        logits = a.step(chunk)
+        preds, margin = b.step_compact(chunk)
+        np.testing.assert_array_equal(preds, np.argmax(logits, -1))
+        srt = np.sort(logits, axis=-1)
+        np.testing.assert_array_equal(
+            margin.astype(np.float16),
+            (srt[:, -1] - srt[:, -2]).astype(np.float16),
+        )
+    # Interleaving compact and full steps keeps the carried state in sync.
+    chunk = (rng.standard_normal((4, 1600)) * 0.2).astype(np.float32)
+    la = a.step(chunk)
+    lb = b.step(chunk)
+    np.testing.assert_array_equal(la, lb)
+
+
+def test_continuous_step_compact_mesh(rng):
+    from lsm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    s, m = _setup(n_streams=4), _setup(n_streams=4, mesh=mesh)
+    for _ in range(2):
+        chunk = (rng.standard_normal((4, 1600)) * 0.2).astype(np.float32)
+        ps, ms = s.step_compact(chunk)
+        pm, mm = m.step_compact(chunk)
+        np.testing.assert_array_equal(ps, pm)
+        np.testing.assert_allclose(ms, mm, rtol=2e-3, atol=0.5)

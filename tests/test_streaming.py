@@ -168,3 +168,48 @@ def test_streaming_ingest_contract(rng):
         kws_a.step(np.zeros((1, 16001), np.float32))
     with pytest.raises(ValueError):
         kws_a.push(np.zeros((1, 16001), np.float32))
+
+
+def test_step_compact_matches_step(rng):
+    """step_compact preds bit-equal argmax(step logits); margin equals the
+    top-1/top-2 logit gap within f16 rounding (twin instances, same
+    chunks — compact and full must describe the same decision)."""
+    kws_a, kws_b = _setup(n_streams=4), _setup(n_streams=4)
+    for i in range(3):
+        chunk = rng.standard_normal((4, 4000)).astype(np.float32) * 0.2
+        logits = kws_a.step(chunk)
+        preds, margin = kws_b.step_compact(chunk)
+        np.testing.assert_array_equal(preds, np.argmax(logits, -1))
+        srt = np.sort(logits, axis=-1)
+        want = (srt[:, -1] - srt[:, -2]).astype(np.float16)
+        np.testing.assert_array_equal(margin.astype(np.float16), want)
+        assert (margin >= 0).all()
+
+
+def test_step_compact_mesh_matches_single_device(rng):
+    from lsm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    kws_s, kws_m = _setup(n_streams=4), _setup(n_streams=4, mesh=mesh)
+    for _ in range(2):
+        chunk = rng.standard_normal((4, 4000)).astype(np.float32) * 0.2
+        ps, ms = kws_s.step_compact(chunk)
+        pm, mm = kws_m.step_compact(chunk)
+        np.testing.assert_array_equal(ps, pm)
+        # shard_map reduction order perturbs logits at the f32 ulp level,
+        # which can flip the f16-rounded margin by one ulp — allow that.
+        np.testing.assert_allclose(ms, mm, rtol=2e-3, atol=0.5)
+
+
+def test_step_compact_accepts_wire_formats(rng):
+    """Compact output composes with the compressed ingest (int16/ulaw)."""
+    from lsm_tpu.ops.ulaw import decode_ulaw_reference, encode_ulaw_f32
+
+    f32 = (rng.standard_normal((4, 4000)) * 0.2).clip(-1, 1).astype(np.float32)
+    wire = encode_ulaw_f32(f32)
+    decoded = decode_ulaw_reference(wire).astype(np.float32) / 32768.0
+    kws_u, kws_f = _setup(n_streams=4), _setup(n_streams=4)
+    pu, mu = kws_u.step_compact(wire)
+    pf, mf = kws_f.step_compact(decoded)
+    np.testing.assert_array_equal(pu, pf)
+    np.testing.assert_array_equal(mu, mf)

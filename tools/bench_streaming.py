@@ -34,6 +34,11 @@ def main() -> None:
                         help="Feed uint8 G.711 mu-law chunks (quarter the "
                              "f32 ingest bytes; device-side decode, "
                              "ops/ulaw.py).")
+    parser.add_argument("--compact", action="store_true",
+                        help="step_compact(): top-1 class + f16 margin "
+                             "packed to 4 bytes/stream on device — the "
+                             "D2H egress is n_classes*f32 smaller than "
+                             "full logits.")
     parser.add_argument("--mesh", action="store_true",
                         help="Shard the stream axis over all devices "
                              "(shard_map data-parallel scale-out; reports "
@@ -161,6 +166,15 @@ def main() -> None:
             wall = time.perf_counter() - t0
             med = best = wall / n_steps
             tag = f" [pipelined depth={args.pipelined}]"
+        elif args.compact:
+            kws.step_compact(chunk)          # compile + warmup
+            times = []
+            for _ in range(args.steps):
+                t0 = time.perf_counter()
+                kws.step_compact(chunk)
+                times.append(time.perf_counter() - t0)
+            best, med = min(times), sorted(times)[len(times) // 2]
+            tag = " [compact]"
         else:
             times = []
             for _ in range(args.steps):
