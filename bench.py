@@ -208,8 +208,13 @@ def main() -> None:
                 """One decode->H2D->compute pass; returns per-phase seconds
                 and the kept-row count."""
                 t0 = time.perf_counter()
+                # Production wire: the native decoder memcpys these PCM16
+                # WAVs straight into an int16 batch (no float round-trip)
+                # and the jitted program converts on device — bit-equal
+                # to the f32 path at half the H2D bytes, which dominate
+                # the cold path through the relay (io/wav.py docstring).
                 batch, kept, _ = load_audio_batch(
-                    files, fcfg.sample_rate, fcfg.duration
+                    files, fcfg.sample_rate, fcfg.duration, dtype="int16"
                 )
                 lab_cold = all_labels[kept]
                 pad = (-batch.shape[0]) % n_chips if mesh is not None else 0

@@ -63,6 +63,22 @@ def _load() -> Optional[ctypes.CDLL]:
             ]
             if lib.wavio_abi_version() != 1:
                 raise OSError("wavio ABI mismatch")
+            # int16-wire entry: optional (absent in a stale prebuilt .so;
+            # callers fall back to f32 decode + host conversion).
+            try:
+                lib.wavio_decode_batch_i16.restype = ctypes.c_int
+                lib.wavio_decode_batch_i16.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_double,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int16),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.c_int,
+                ]
+            except AttributeError:
+                pass
             _lib = lib
             return _lib
         except OSError:
@@ -74,33 +90,54 @@ def available() -> bool:
     return _load() is not None
 
 
+def supports_i16() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "wavio_decode_batch_i16")
+
+
 def load_audio_batch(
     paths: Sequence[Path],
     sample_rate: int = 16000,
     duration: float = 1.0,
     n_threads: int = 0,
+    dtype: str = "float32",
 ) -> Tuple[np.ndarray, List[int], List[Tuple[Path, str]]]:
-    """Same contract as lsm_tpu.io.wav.load_audio_batch, native backend."""
+    """Same contract as lsm_tpu.io.wav.load_audio_batch, native backend.
+
+    dtype="int16" decodes straight into the PCM16 device wire: for the
+    corpus's native format (mono PCM16 at the target rate) each row is a
+    raw sample memcpy — no float round-trip at all — and other formats
+    quantize with the to_pcm16_wire convention. featurize_batch converts
+    on device (exact /32768), so the wire is bit-transparent while the
+    H2D transfer moves half the bytes.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("native wavio unavailable")
+    if dtype == "int16" and not hasattr(lib, "wavio_decode_batch_i16"):
+        raise RuntimeError("native wavio build lacks the int16 entry")
     n = len(paths)
     target = int(sample_rate * duration)
-    out = np.zeros((n, target), dtype=np.float32)
     ok = np.zeros(n, dtype=np.int32)
     c_paths = (ctypes.c_char_p * n)(
         *[os.fsencode(str(p)) for p in paths]
     )
-    lib.wavio_decode_batch(
-        c_paths,
-        n,
-        sample_rate,
-        duration,
-        target,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        n_threads,
-    )
+    if dtype == "int16":
+        out = np.zeros((n, target), dtype=np.int16)
+        lib.wavio_decode_batch_i16(
+            c_paths, n, sample_rate, duration, target,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            n_threads,
+        )
+    else:
+        out = np.zeros((n, target), dtype=np.float32)
+        lib.wavio_decode_batch(
+            c_paths, n, sample_rate, duration, target,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            n_threads,
+        )
     kept = [i for i in range(n) if ok[i]]
     errors = [(Path(paths[i]), "decode failed") for i in range(n) if not ok[i]]
     return out[kept], kept, errors

@@ -162,25 +162,52 @@ def load_wav(
     return y.astype(np.float32)
 
 
+def to_pcm16_wire(batch: np.ndarray) -> np.ndarray:
+    """(n, T) f32 audio -> int16 PCM for the device wire.
+
+    For PCM16-sourced audio (every Speech Commands file) the decoded f32
+    samples are exactly n/32768, so this round-trip is LOSSLESS and the
+    device-side /32768 in featurize_batch reproduces the f32 pipeline
+    bit-for-bit — at half the H2D bytes, which dominate the cold
+    disk->predictions path through the relay. Audio from float/24-bit
+    sources or the Kaiser resampler quantizes at the int16 step (~3e-5),
+    the same information the reference's own 16-bit corpus carries.
+    """
+    return np.clip(
+        np.asarray(batch, np.float32) * 32768.0, -32768.0, 32767.0
+    ).astype(np.int16)
+
+
 def load_audio_batch(
     paths: Sequence[Path],
     sample_rate: int = 16000,
     duration: float = 1.0,
     use_native: bool = True,
+    dtype: str = "float32",
 ) -> Tuple[np.ndarray, List[int], List[Tuple[Path, str]]]:
-    """Decode many files -> (batch (n_ok, T) f32, kept indices, errors).
+    """Decode many files -> (batch (n_ok, T), kept indices, errors).
 
     Right-pads with zeros / truncates to exactly sample_rate*duration samples
     (create_dataset.py:28-32). Decode failures are collected, not raised
     (create_dataset.py:34-36).
+
+    dtype="int16" returns the PCM16 device wire (see to_pcm16_wire): the
+    native decoder memcpys mono-PCM16-at-target-rate files straight into
+    the batch, and featurize_batch converts on device — half the H2D
+    bytes on the cold disk->predictions path, bit-equal for PCM16
+    sources.
     """
     target = int(sample_rate * duration)
     if use_native:
         try:
             from lsm_tpu.io import native
 
-            if native.available():
-                return native.load_audio_batch(paths, sample_rate, duration)
+            if native.available() and (
+                dtype != "int16" or native.supports_i16()
+            ):
+                return native.load_audio_batch(
+                    paths, sample_rate, duration, dtype=dtype
+                )
         except Exception:
             pass
 
@@ -200,6 +227,8 @@ def load_audio_batch(
         if rows
         else np.zeros((0, target), np.float32)
     )
+    if dtype == "int16":
+        return to_pcm16_wire(batch), kept, errors
     return batch, kept, errors
 
 

@@ -126,6 +126,7 @@ class ContinuousKWS:
         chunk_len: int = 1600,
         norm_decay_db_per_bin: float = 0.1,
         mesh: Optional[Mesh] = None,
+        gtgram_two_phase: Optional[bool] = None,
     ):
         if fcfg.filterbank not in ("gammatone", "mel"):
             raise ValueError(f"unknown filterbank {fcfg.filterbank!r}")
@@ -178,6 +179,7 @@ class ContinuousKWS:
         self.chunk_len = chunk_len
         self.mesh = mesh
         self._is_mel = is_mel
+        self.gtgram_two_phase = False     # set by the gammatone branch
         self._g = g
         self._nwin = nwin
         self._w_per = nwin // g
@@ -345,13 +347,41 @@ class ContinuousKWS:
                 starts_np[:, None] + np.arange(w_per)[None, :]
             )                                             # (n_cols, w_per)
 
+            # Two-phase chunk featurizer (gtgram_kernel.py): the hop's
+            # dominant device cost. Auto on TPU when the chunk geometry
+            # fits the kernel's sub-block tile (the batch axis pads
+            # internally, so dispatch does NOT depend on stream count —
+            # calibration via fit_continuous_readout and serving always
+            # run the same path on the same backend); the fused XLA scan
+            # is the fallback. Absolute energies differ at the documented
+            # kernel tolerance (p99 ~8e-4), the same class as the batch
+            # pipeline's gtgram kernel vs XLA (docs/SENSITIVITY.md).
+            from lsm_tpu.ops.pallas import gtgram_kernel as gk
+
+            if gtgram_two_phase is None:
+                gtgram_two_phase = (
+                    jax.default_backend() == "tpu"
+                    and gk.chunk_supported(chunk_len, g)
+                )
+            elif gtgram_two_phase and not gk.chunk_supported(chunk_len, g):
+                raise ValueError(
+                    f"gtgram_two_phase=True: unsupported chunk geometry "
+                    f"(chunk {chunk_len}, g {g})"
+                )
+            self.gtgram_two_phase = bool(gtgram_two_phase)
+
             def _featurize_chunk(chunk, st: ContinuousState):
                 B = chunk.shape[0]
                 n_sub = chunk.shape[1] // g
-                blocks = chunk.reshape(B, n_sub, g).transpose(1, 0, 2)
-                iir, sub_e = gt.gtgram_iir_scan(
-                    blocks, st.iir, fs, C, f_min, g
-                )
+                if self.gtgram_two_phase:
+                    iir, sub_e = gk.gtgram_chunk_two_phase(
+                        chunk, st.iir, fs, C, f_min, g
+                    )
+                else:
+                    blocks = chunk.reshape(B, n_sub, g).transpose(1, 0, 2)
+                    iir, sub_e = gt.gtgram_iir_scan(
+                        blocks, st.iir, fs, C, f_min, g
+                    )
                 all_e = jnp.concatenate([st.tail, sub_e], axis=0)
                 win_e = jnp.sum(all_e[win_idx], axis=1)   # (n_cols, B, C)
                 amp = jnp.sqrt(win_e / nwin)

@@ -77,10 +77,17 @@ def featurize_batch(audio: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     """Audio batch -> spike trains.
 
     Args:
-      audio: (B, num_samples) float32, already padded/truncated to 1 s.
+      audio: (B, num_samples) float32 samples in [-1, 1], OR int16 linear
+        PCM converted on device with the decoders' exact /32768
+        (io/wav.py:59) — BIT-EQUAL for PCM16-sourced audio and half the
+        host->device bytes, which dominate the cold (disk -> predictions)
+        path through the relay (docs/VALIDATION.md "Cold-path PCM16
+        wire"). Already padded/truncated to 1 s either way.
     Returns:
       (B, n_filters * redundancy_factor, time_bins * n_thresholds) uint8.
     """
+    if audio.dtype == jnp.int16:
+        audio = audio.astype(jnp.float32) / 32768.0
     spec_db = spectrogram_db(audio, cfg)
     spec_norm = db_ops.minmax_normalize(spec_db)
     spec_norm = resample.zoom_time_axis(spec_norm, cfg.time_bins)

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -348,7 +348,8 @@ def gtgram_state_energy(
     channels: int,
     f_min: float,
     g: int,
-) -> jnp.ndarray:
+    init_state: Optional[jnp.ndarray] = None,   # (B, 8, C); zeros if None
+):
     """Phase 1 of the two-phase gtgram: exact state scan + per-sub-block
     state-energy terms.
 
@@ -363,7 +364,14 @@ def gtgram_state_energy(
     keeps HIGHEST throughout) at the ~1e-7 level on TPU: bit-equality
     oracles against gtgram_iir belong on CPU, tolerance oracles on TPU
     (test_pallas_kernels.py uses rtol 5e-3; measured p99 8.2e-4).
-    Returns (n_sub, C, B) f32 (batch on lanes, the phase-2 kernel layout).
+
+    `init_state` threads the cascade state across chunk boundaries for the
+    streaming two-phase featurizer (gtgram_kernel.gtgram_chunk_two_phase):
+    feeding a signal in chunks performs the identical per-step op sequence
+    as one whole-signal call, so chunking is exact for THIS implementation
+    (the analogue of gtgram_iir_scan's continuation contract).
+    Returns (final_state (B, 8, C), sq (n_sub, C, B)) — batch on lanes,
+    the phase-2 kernel layout.
     """
     n_sub, B, g_ = blocks_bm.shape
     assert g_ == g
@@ -412,9 +420,11 @@ def gtgram_state_energy(
         # 250 MB minor-dim transpose afterwards.
         return new_state, (cross + quad).T
 
-    init = jnp.zeros((B, 8, channels), jnp.float32)
-    _, sq = jax.lax.scan(step, init, blocks_bm, unroll=4)
-    return sq                            # (n_sub, C, B)
+    init = (
+        jnp.zeros((B, 8, channels), jnp.float32)
+        if init_state is None else init_state
+    )
+    return jax.lax.scan(step, init, blocks_bm, unroll=4)
 
 
 @functools.lru_cache(maxsize=None)

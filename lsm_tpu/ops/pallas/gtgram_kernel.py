@@ -157,7 +157,7 @@ def gtgram_pallas(
     blocks_bm = stacked.transpose(1, 0, 2)        # (n_sub, B, g) for phase 1
     blocks_gm = stacked.transpose(1, 2, 0)        # (n_sub, g, B) for phase 2
 
-    sq = gtgram_state_energy(blocks_bm, fs, channels, f_min, g)
+    _, sq = gtgram_state_energy(blocks_bm, fs, channels, f_min, g)
     sub_energy = gtgram_energy_pallas(blocks_gm, sq, fs, channels, f_min, g)
 
     # Windowed-energy epilogue as ONE 0/1-matrix contraction on the
@@ -184,6 +184,70 @@ def gtgram_pallas(
     )
     out = jnp.sqrt(jnp.maximum(win_energy, 0.0) / nwin)
     return out.transpose(1, 0, 2)[:B]      # (B, C, n_cols)
+
+
+def chunk_supported(chunk_len: int, g: int) -> bool:
+    """Geometry gate for gtgram_chunk_two_phase: the phase-2 kernel tiles
+    sub-blocks in _CHUNK rows (time padding is impossible — it would
+    corrupt the carried state — so non-multiples fall back to the fused
+    XLA chunk scan). The batch axis pads freely inside the wrapper, so
+    stream count does NOT affect dispatch: calibration (arbitrary n) and
+    serving (any n) always run the same path on the same backend."""
+    return chunk_len % g == 0 and (chunk_len // g) % _CHUNK == 0
+
+
+def gtgram_chunk_two_phase(
+    chunk: jnp.ndarray,           # (B, chunk_len) f32 samples
+    init_state: jnp.ndarray,      # (B, 8, C) carried cascade state
+    fs: float,
+    channels: int,
+    f_min: float,
+    g: int,
+):
+    """Streaming (state-carrying) two-phase gtgram chunk featurizer.
+
+    The continuous-mode hop's device time is dominated by the gammatone
+    chunk (profile_stages --continuous: ~3.7 ms of ~6.3 ms device at
+    2400 streams) because gtgram_iir_scan's big per-step y-response
+    matmul + energy epilogue is sequential over sub-blocks. This applies
+    the batch two-phase split (module docstring) to a CHUNK with carried
+    state: phase 1 scans only the 8-dim state + quadratic energy terms
+    (10x fewer sequential flops), phase 2 computes the input-response
+    energies embarrassingly parallel on the MXU.
+
+    Exactness: chunking is exact for this implementation (same phase-1
+    step per sub-block regardless of chunk boundaries — the analogue of
+    gtgram_iir_scan's bit-exact continuation), while ABSOLUTE energies
+    differ from gtgram_iir_scan at the documented kernel tolerance
+    (p99 ~8e-4; test_pallas_kernels.py). Callers must pair it with a
+    readout calibrated on the same path (fit_continuous_readout runs
+    whatever path ContinuousKWS dispatches, so calibration and serving
+    always match).
+
+    Returns (final_state (B, 8, C), sub_energy (n_sub, B, C)).
+    """
+    B, L = chunk.shape
+    n_sub = L // g
+    if not chunk_supported(L, g):
+        raise ValueError(
+            f"unsupported chunk geometry chunk_len={L} g={g} "
+            f"(need chunk_len % g == 0 and (chunk_len//g) % {_CHUNK} == 0)"
+        )
+    # Batch pads to the lane tile INSIDE the program (<= 127 zero streams,
+    # ~1% at serving counts); time cannot pad (carried state).
+    pad_b = (-B) % _B_TILE
+    if pad_b:
+        chunk = jnp.pad(chunk, ((0, pad_b), (0, 0)))
+        init_state = jnp.pad(init_state, ((0, pad_b), (0, 0), (0, 0)))
+    stacked = chunk.reshape(B + pad_b, n_sub, g)
+    state, sq = gtgram_state_energy(
+        stacked.transpose(1, 0, 2), fs, channels, f_min, g,
+        init_state=init_state,
+    )
+    sub_e = gtgram_energy_pallas(
+        stacked.transpose(1, 2, 0), sq, fs, channels, f_min, g
+    )                                     # (n_sub, C, B)
+    return state[:B], sub_e.transpose(0, 2, 1)[:, :B]
 
 
 def pallas_supported(fs: float, window_time: float, hop_time: float,

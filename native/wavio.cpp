@@ -54,18 +54,18 @@ inline uint16_t rd_u16(const uint8_t* p) {
   return static_cast<uint16_t>(p[0]) | (static_cast<uint16_t>(p[1]) << 8);
 }
 
-// Decode to mono float32 at the file's native rate. Returns false on error.
-bool decode_wav_mono(const std::vector<uint8_t>& raw, std::vector<float>& out,
-                     uint32_t* rate_out) {
-  if (raw.size() < 44 || std::memcmp(raw.data(), "RIFF", 4) != 0 ||
-      std::memcmp(raw.data() + 8, "WAVE", 4) != 0)
-    return false;
-
+struct WavInfo {
   uint16_t fmt = 0, channels = 0, bits = 0;
   uint32_t rate = 0;
   const uint8_t* data = nullptr;
   size_t data_size = 0;
+};
 
+// RIFF chunk walk shared by the f32 decoder and the PCM16 fast path.
+bool parse_wav(const std::vector<uint8_t>& raw, WavInfo* info) {
+  if (raw.size() < 44 || std::memcmp(raw.data(), "RIFF", 4) != 0 ||
+      std::memcmp(raw.data() + 8, "WAVE", 4) != 0)
+    return false;
   size_t pos = 12;
   while (pos + 8 <= raw.size()) {
     const uint8_t* cid = raw.data() + pos;
@@ -73,22 +73,32 @@ bool decode_wav_mono(const std::vector<uint8_t>& raw, std::vector<float>& out,
     if (pos + 8 + size > raw.size()) size = static_cast<uint32_t>(raw.size() - pos - 8);
     const uint8_t* body = raw.data() + pos + 8;
     if (std::memcmp(cid, "fmt ", 4) == 0 && size >= 16) {
-      fmt = rd_u16(body);
-      channels = rd_u16(body + 2);
-      rate = rd_u32(body + 4);
-      bits = rd_u16(body + 14);
-      if (fmt == 0xFFFE) fmt = 1;  // WAVE_FORMAT_EXTENSIBLE: assume PCM
+      info->fmt = rd_u16(body);
+      info->channels = rd_u16(body + 2);
+      info->rate = rd_u32(body + 4);
+      info->bits = rd_u16(body + 14);
+      if (info->fmt == 0xFFFE) info->fmt = 1;  // EXTENSIBLE: assume PCM
     } else if (std::memcmp(cid, "data", 4) == 0) {
-      data = body;
-      data_size = size;
+      info->data = body;
+      info->data_size = size;
     }
     pos += 8 + size + (size & 1);
   }
-  if (!data || channels == 0 || rate == 0) return false;
+  return info->data && info->channels != 0 && info->rate != 0;
+}
+
+// Decode to mono float32 at the file's native rate. Returns false on error.
+bool decode_wav_mono(const std::vector<uint8_t>& raw, std::vector<float>& out,
+                     uint32_t* rate_out) {
+  WavInfo w;
+  if (!parse_wav(raw, &w)) return false;
+  const uint16_t fmt = w.fmt, channels = w.channels, bits = w.bits;
+  const uint32_t rate = w.rate;
+  const uint8_t* data = w.data;
 
   size_t bytes_per = bits / 8;
   if (bytes_per == 0) return false;
-  size_t n_frames = data_size / (bytes_per * channels);
+  size_t n_frames = w.data_size / (bytes_per * channels);
   out.resize(n_frames);
   const float inv_ch = 1.0f / static_cast<float>(channels);
 
@@ -248,6 +258,52 @@ void process_one(const char* path, int sample_rate, double duration,
   *ok = 1;
 }
 
+void process_one_i16(const char* path, int sample_rate, double duration,
+                     int target_len, int16_t* row, int* ok) {
+  // int16 PCM output mode: the device wire for the cold
+  // disk->predictions path (featurize_batch converts with the exact
+  // /32768 on device — half the H2D bytes). For the corpus's native
+  // format (mono PCM16 at the target rate) the row is a straight
+  // sample copy with NO float round-trip; everything else decodes
+  // through the f32 path and quantizes with the same truncate-toward-
+  // zero convention as io/wav.py:to_pcm16_wire (bit-identical batches
+  // from either backend).
+  std::vector<uint8_t> raw;
+  std::memset(row, 0, sizeof(int16_t) * target_len);
+  *ok = 0;
+  if (!read_file(path, raw)) return;
+  WavInfo w;
+  if (!parse_wav(raw, &w)) return;
+  if (w.fmt == 1 && w.bits == 16 && w.channels == 1 &&
+      w.rate == static_cast<uint32_t>(sample_rate)) {
+    size_t n_frames = w.data_size / 2;
+    size_t max_src = static_cast<size_t>(duration * w.rate);
+    if (n_frames > max_src) n_frames = max_src;
+    if (n_frames > static_cast<size_t>(target_len))
+      n_frames = static_cast<size_t>(target_len);
+    // Little-endian host (x86/ARM): raw samples ARE the row bytes.
+    std::memcpy(row, w.data, n_frames * 2);
+    *ok = 1;
+    return;
+  }
+  std::vector<float> mono, res;
+  uint32_t rate = 0;
+  if (!decode_wav_mono(raw, mono, &rate)) return;
+  size_t max_src = static_cast<size_t>(duration * rate);
+  if (mono.size() > max_src) mono.resize(max_src);
+  resample_sinc(mono, rate, static_cast<uint32_t>(sample_rate), res);
+  size_t n = res.size() < static_cast<size_t>(target_len)
+                 ? res.size()
+                 : static_cast<size_t>(target_len);
+  for (size_t i = 0; i < n; ++i) {
+    float v = res[i] * 32768.0f;
+    if (v > 32767.0f) v = 32767.0f;
+    if (v < -32768.0f) v = -32768.0f;
+    row[i] = static_cast<int16_t>(v);  // truncate toward zero, like astype
+  }
+  *ok = 1;
+}
+
 }  // namespace
 
 extern "C" {
@@ -270,6 +326,39 @@ int wavio_decode_batch(const char** paths, int n, int sample_rate,
       if (i >= n) break;
       process_one(paths[i], sample_rate, duration, target_len,
                   out + static_cast<size_t>(i) * target_len, ok + i);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+  int n_ok = 0;
+  for (int i = 0; i < n; ++i) n_ok += ok[i];
+  return n_ok;
+}
+
+// int16-wire variant of wavio_decode_batch (optional symbol: older .so
+// builds lack it and callers fall back to the f32 path + host convert).
+int wavio_decode_batch_i16(const char** paths, int n, int sample_rate,
+                           double duration, int target_len, int16_t* out,
+                           int* ok, int n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > n) n_threads = n > 0 ? n : 1;
+
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      process_one_i16(paths[i], sample_rate, duration, target_len,
+                      out + static_cast<size_t>(i) * target_len, ok + i);
     }
   };
   if (n_threads == 1) {

@@ -742,3 +742,44 @@ def test_continuous_step_compact_mesh(rng):
         pm, mm = m.step_compact(chunk)
         np.testing.assert_array_equal(ps, pm)
         np.testing.assert_allclose(ms, mm, rtol=2e-3, atol=0.5)
+
+
+def test_continuous_two_phase_gtgram_matches_xla_path(rng):
+    """ContinuousKWS with the two-phase chunk featurizer forced on
+    (interpret mode) vs the XLA-scan twin: same audio, logits within the
+    documented kernel tolerance class, and the carried IIR state stays in
+    lockstep (both engines remain well-posed across chunks)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    a = _setup(n_streams=2)                               # XLA scan path
+    assert a.gtgram_two_phase is False
+    b = _setup_two_phase()
+    assert b.gtgram_two_phase is True
+    audio = (rng.standard_normal((2, 4800)) * 0.2).astype(np.float32)
+    for c in range(3):
+        chunk = audio[:, c * 1600:(c + 1) * 1600]
+        la = a.step(chunk)
+        with pltpu.force_tpu_interpret_mode():
+            lb = b.step(chunk)
+        np.testing.assert_allclose(la, lb, rtol=5e-2, atol=5e-2)
+
+
+def _setup_two_phase():
+    fcfg = FrontendConfig(n_filters=16, filterbank="gammatone")
+    rcfg = ReservoirConfig(
+        num_neurons=128, num_output_neurons=64, small_world_k=16,
+        mean_weight=0.03,
+    )
+    params = res.init_reservoir(rcfg, n_channels=16)
+    d = 5 * 64
+    rng = np.random.default_rng(0)
+    readout = logistic.LogisticParams(
+        w=jnp.asarray(rng.normal(0, 0.1, (d, 4)).astype(np.float32)),
+        b=jnp.zeros((4,), jnp.float32),
+    )
+    st = scaler.ScalerState(
+        mean=jnp.zeros((d,), jnp.float32), scale=jnp.ones((d,), jnp.float32)
+    )
+    return ContinuousKWS(
+        params, readout, st, fcfg, "original", 2, gtgram_two_phase=True
+    )

@@ -109,3 +109,20 @@ def test_hysteresis_holds_state_across_bins():
     spec = np.array([[0.99, 0.90, 0.88, 0.86, 0.70, 0.99]], dtype=np.float32)
     out = np.asarray(hysteresis.hysteresis_encode(jnp.asarray(spec), (0.95,), 0.1))
     np.testing.assert_array_equal(out[0], [1, 1, 1, 1, 0, 1])
+
+
+def test_featurize_batch_int16_wire_bit_equal(rng):
+    """featurize_batch(int16 PCM) == featurize_batch(f32) bit-for-bit when
+    the f32 audio is PCM16-sourced (exact n/32768 values) — the cold-path
+    device wire (io/wav.py:to_pcm16_wire) must be transparent."""
+    from lsm_tpu.config import FrontendConfig
+    from lsm_tpu.io.wav import to_pcm16_wire
+    from lsm_tpu.models.frontend import featurize_batch
+
+    pcm = rng.integers(-20000, 20000, (3, 16000)).astype(np.int16)
+    f32 = pcm.astype(np.float32) / 32768.0
+    assert (to_pcm16_wire(f32) == pcm).all()      # lossless round trip
+    cfg = FrontendConfig(n_filters=32)
+    sp_i = np.asarray(featurize_batch(jnp.asarray(pcm), cfg))
+    sp_f = np.asarray(featurize_batch(jnp.asarray(f32), cfg))
+    np.testing.assert_array_equal(sp_i, sp_f)

@@ -41,3 +41,40 @@ def test_native_resamples(tmp_path, rng):
     ref, _, _ = wav.load_audio_batch([p], 16000, 1.0, use_native=False)
     assert kept == [0]
     np.testing.assert_allclose(nat, ref, atol=1e-5)
+
+
+def test_native_int16_wire_matches_f32_and_fallback(tmp_path, rng):
+    """dtype='int16' (the cold-path device wire): the native decoder's
+    PCM16 memcpy fast path, its f32-decode+quantize fallback (resampled
+    file), and the NumPy fallback must all be bit-identical to
+    to_pcm16_wire(f32 batch)."""
+    import scipy.io.wavfile
+
+    paths = []
+    for i in range(3):
+        audio = (rng.standard_normal(16000) * 8000).astype(np.int16)
+        p = tmp_path / f"{i}.wav"
+        scipy.io.wavfile.write(p, 16000, audio)      # mono PCM16 @ target
+        paths.append(p)
+    resampled = tmp_path / "r.wav"
+    scipy.io.wavfile.write(
+        resampled, 8000, (rng.standard_normal(8000) * 8000).astype(np.int16)
+    )
+    paths.append(resampled)                           # forces the slow path
+
+    f32, kept_f, _ = native.load_audio_batch(paths, 16000, 1.0)
+    i16, kept_i, _ = native.load_audio_batch(paths, 16000, 1.0, dtype="int16")
+    assert kept_f == kept_i == [0, 1, 2, 3]
+    assert i16.dtype == np.int16
+    np.testing.assert_array_equal(i16, wav.to_pcm16_wire(f32))
+
+    # The PCM16-at-rate rows are the RAW samples (memcpy fast path).
+    for i, p in enumerate(paths[:3]):
+        _, raw = scipy.io.wavfile.read(p)
+        np.testing.assert_array_equal(i16[i], raw)
+
+    np_i16, kept_np, _ = wav.load_audio_batch(
+        paths, 16000, 1.0, dtype="int16", use_native=False
+    )
+    assert kept_np == kept_i
+    np.testing.assert_array_equal(np_i16, i16)

@@ -74,3 +74,68 @@ def test_pallas_lif_window_clamp_non_divisible_t(rng):
     with pltpu.force_tpu_interpret_mode():
         out = res.features_from_stats(simulate_batch_pallas(params, spikes), keys)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_gtgram_chunk_two_phase_matches_scan_interpret(rng):
+    """Streaming two-phase chunk featurizer (carried state) vs the XLA
+    chunk scan: sub-block energies within the batch kernel's tolerance,
+    and chunking with threaded state exact for the two-phase path itself
+    (same step math regardless of chunk boundaries)."""
+    import numpy as np
+
+    from lsm_tpu.ops import gammatone as gt
+
+    fs, C, f_min, g = 16000.0, 128, 50.0, 80
+    B, L = 8, 1600                        # n_sub = 20 (% _CHUNK == 0)
+    wave = (rng.standard_normal((B, 2 * L)) * 0.2).astype(np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        st = jnp.zeros((B, 8, C), jnp.float32)
+        outs = []
+        for k in range(2):
+            st, sub_e = gk.gtgram_chunk_two_phase(
+                jnp.asarray(wave[:, k * L:(k + 1) * L]), st, fs, C, f_min, g
+            )
+            outs.append(np.asarray(sub_e))
+        two_phase = np.concatenate(outs, axis=0)      # (2*n_sub, B, C)
+
+        # Whole-signal two-phase call: chunking must be EXACT.
+        st0 = jnp.zeros((B, 8, C), jnp.float32)
+        _, whole = gk.gtgram_chunk_two_phase(
+            jnp.asarray(wave), st0, fs, C, f_min, g
+        )
+        np.testing.assert_array_equal(two_phase, np.asarray(whole))
+
+    # XLA chunk scan on the same signal: tolerance oracle (the two paths
+    # compute identical math reorganized; same class as the batch kernel).
+    blocks = wave.reshape(B, -1, g).transpose(1, 0, 2)
+    _, scan_e = gt.gtgram_iir_scan(
+        jnp.asarray(blocks), jnp.zeros((B, 8, C), jnp.float32),
+        fs, C, f_min, g,
+    )
+    scan_e = np.asarray(scan_e)
+    denom = np.maximum(np.abs(scan_e), 1e-3)
+    rel = np.abs(two_phase - scan_e) / denom
+    assert np.quantile(rel, 0.99) < 5e-3, np.quantile(rel, 0.99)
+
+
+def test_gtgram_chunk_two_phase_batch_padding(rng):
+    """The internal batch pad to the lane tile must not change results:
+    a 3-stream call equals the first 3 rows of a 128-stream call whose
+    first 3 streams carry the same audio."""
+    import numpy as np
+
+    fs, C, f_min, g = 16000.0, 32, 50.0, 80
+    L = 320                                # n_sub = 4
+    wave = (rng.standard_normal((128, L)) * 0.2).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        st_small = jnp.zeros((3, 8, C), jnp.float32)
+        st_full = jnp.zeros((128, 8, C), jnp.float32)
+        s1, e1 = gk.gtgram_chunk_two_phase(
+            jnp.asarray(wave[:3]), st_small, fs, C, f_min, g
+        )
+        s2, e2 = gk.gtgram_chunk_two_phase(
+            jnp.asarray(wave), st_full, fs, C, f_min, g
+        )
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2)[:, :3])
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2)[:3])

@@ -120,6 +120,23 @@ def main():
             ),
             blocks, gstate,
         )
+        from lsm_tpu.ops.pallas import gtgram_kernel as gk
+
+        if jax.default_backend() == "tpu" and gk.chunk_supported(1600, 80):
+            # The production TPU dispatch (models/continuous.py): phase-1
+            # state scan + phase-2 Pallas energy kernel.
+            chunk_flat = jnp.asarray(
+                np.ascontiguousarray(
+                    np.asarray(blocks).transpose(1, 0, 2).reshape(B, -1)
+                )
+            )
+            timed(
+                "gtgram chunk two-phase",
+                lambda c, s: gk.gtgram_chunk_two_phase(
+                    c, s, fcfg.sample_rate, fcfg.n_filters, fcfg.gt_f_min, 80
+                ),
+                chunk_flat, gstate,
+            )
         n_pad = params.w_rec.shape[0]
         sp = jnp.asarray(
             (rng.random((B, params.w_in.shape[0], 40)) < 0.1).astype(np.uint8)
