@@ -265,8 +265,16 @@ def create_spike_dataset(
     ]
 
     def _decode(start: int, stop: int):
+        # int16 PCM device wire: BIT-EQUAL spikes for PCM16-sourced files
+        # (all of Speech Commands) at half the H2D bytes — the cold path
+        # is H2D-bound through the relay (docs/VALIDATION.md "Cold-path
+        # PCM16 wire"); the native decoder memcpys PCM16-at-rate files
+        # without any float round-trip. Float/24-bit/resampled sources
+        # quantize at the 16-bit step (~3e-5 — the precision the
+        # reference's own 16-bit corpus carries).
         return load_audio_batch(
-            idx.files[start:stop], fcfg.sample_rate, fcfg.duration
+            idx.files[start:stop], fcfg.sample_rate, fcfg.duration,
+            dtype="int16",
         )
 
     with ThreadPoolExecutor(max_workers=1) as pool:
