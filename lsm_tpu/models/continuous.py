@@ -180,6 +180,16 @@ class ContinuousKWS:
         self.mesh = mesh
         self._is_mel = is_mel
         self.gtgram_two_phase = False     # set by the gammatone branch
+        if mesh is not None:
+            from lsm_tpu.parallel.mesh import replicate_to_mesh
+
+            # Process-aware replication (multi-host meshes): weights are
+            # identical on every process; single-host this is device_put.
+            self.params = params = replicate_to_mesh(params, mesh)
+            self.readout = readout = replicate_to_mesh(readout, mesh)
+            self.scaler_state = scaler_state = replicate_to_mesh(
+                scaler_state, mesh
+            )
         self._g = g
         self._nwin = nwin
         self._w_per = nwin // g
@@ -688,26 +698,46 @@ class ContinuousKWS:
             ),
         )
         if self.mesh is not None:
+            from lsm_tpu.parallel.mesh import shard_host_array
+
             specs = self._state_pspec()
+            # Process-aware: every leaf is a full init value identical on
+            # every process; shard_host_array materializes only the
+            # addressable shards (multihost_mesh spans processes, where
+            # plain device_put to non-addressable devices fails).
             st = jax.tree_util.tree_map(
-                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+                lambda x, s: shard_host_array(
+                    np.asarray(x), self.mesh, s
+                ),
                 st, specs,
                 is_leaf=lambda x: isinstance(x, P),
             )
         return st
 
+    def _local_streams(self) -> int:
+        """Rows each process feeds per chunk: the full stream axis on one
+        host, this process's partition of it on a multi-host mesh
+        (process-major slots, matching multihost_mesh's device order)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            return self.n_streams // jax.process_count()
+        return self.n_streams
+
     def _normalize_chunk(self, chunk: np.ndarray) -> np.ndarray:
         from lsm_tpu.models.streaming import normalize_ingest_chunk
 
         return normalize_ingest_chunk(
-            chunk, self.n_streams, self.chunk_len, fixed_len=True
+            chunk, self._local_streams(), self.chunk_len, fixed_len=True
         )
 
     def _place_chunk(self, chunk: np.ndarray) -> jax.Array:
         if self.mesh is not None:
-            return jax.device_put(
-                chunk, NamedSharding(self.mesh, P(DATA_AXIS, None))
-            )
+            sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
+            if jax.process_count() > 1:
+                # Each process contributes its process-local stream rows.
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(chunk)
+                )
+            return jax.device_put(chunk, sharding)
         return jnp.asarray(chunk)
 
     def step(self, chunk) -> np.ndarray:
@@ -723,7 +753,9 @@ class ContinuousKWS:
             dev = chunk
         else:
             dev = self._place_chunk(self._normalize_chunk(chunk))
-        return np.asarray(self._step_device(dev))
+        from lsm_tpu.models.streaming import materialize_stream_output
+
+        return materialize_stream_output(self._step_device(dev), self.mesh)
 
     def _step_device(self, dev) -> "jax.Array":
         """Dispatch one step on a device-resident chunk; returns the logits
@@ -769,7 +801,11 @@ class ContinuousKWS:
             self.readout.w, self.readout.b,
             self.scaler_state.mean, self.scaler_state.scale,
         )
-        return unpack_compact_output(packed)
+        from lsm_tpu.models.streaming import materialize_stream_output
+
+        return unpack_compact_output(
+            materialize_stream_output(packed, self.mesh)
+        )
 
     def reset(self, stream_idx=None) -> None:
         """Re-initialize stream state (parity with StreamingKWS.reset).
@@ -799,7 +835,11 @@ class ContinuousKWS:
             mask[idx] = True
         m = jnp.asarray(mask)
         if self.mesh is not None:
-            m = jax.device_put(m, NamedSharding(self.mesh, P(DATA_AXIS)))
+            from lsm_tpu.parallel.mesh import shard_host_array
+
+            # Full (global) mask, same value on every process (SPMD
+            # callers invoke reset with identical arguments everywhere).
+            m = shard_host_array(mask, self.mesh, P(DATA_AXIS))
         self.state = self._reset_streams(self.state, m)
 
 

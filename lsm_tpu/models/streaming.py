@@ -90,6 +90,23 @@ def normalize_ingest_chunk(
     return chunk.astype(np.float32)
 
 
+def materialize_stream_output(out: jax.Array, mesh: Optional[Mesh]) -> np.ndarray:
+    """Pull a per-step output (logits / packed decisions) to host.
+
+    Single-host: plain np.asarray. On a multi-host mesh the output is
+    sharded across processes (not fully addressable), so it first
+    all-gathers to replicated — a jitted identity with replicated output
+    sharding, XLA lowers it to one all-gather over the data axis (DCN
+    across hosts) — and every process returns the FULL (n_streams, ...)
+    array. Callers that only need local rows can slice their process's
+    partition."""
+    if mesh is not None and jax.process_count() > 1:
+        out = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, P())
+        )(out)
+    return np.asarray(out)
+
+
 def compact_output_device(logits: jnp.ndarray) -> jnp.ndarray:
     """(B, K) logits -> (B, 2) uint16 packed [pred, margin] (device side).
 
@@ -179,9 +196,9 @@ def stream_pipelined(kws, chunks, depth: int = 2):
             dev = kws._place_chunk(kws._normalize_chunk(chunk))
         pending.append(kws._step_device(dev))
         if len(pending) >= depth:
-            yield np.asarray(pending.popleft())
+            yield materialize_stream_output(pending.popleft(), kws.mesh)
     while pending:
-        yield np.asarray(pending.popleft())
+        yield materialize_stream_output(pending.popleft(), kws.mesh)
 
 
 class StreamingKWS:
@@ -237,7 +254,24 @@ class StreamingKWS:
                     f"data axis ({n_data}) so stream shards are equal"
                 )
             self._buf_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
-            self.buffer = jax.device_put(self.buffer, self._buf_sharding)
+            from lsm_tpu.parallel.mesh import (
+                replicate_to_mesh, shard_host_array,
+            )
+
+            # Process-aware placement (a multihost_mesh spans processes,
+            # where plain device_put to non-addressable devices fails):
+            # every state/weight leaf is a full value identical on every
+            # process, so shard_host_array/replicate_to_mesh materialize
+            # just the addressable shards. Single-host this is device_put.
+            self.buffer = shard_host_array(
+                np.zeros((n_streams, fcfg.num_samples), np.float32),
+                mesh, P(DATA_AXIS, None),
+            )
+            self.params = params = replicate_to_mesh(params, mesh)
+            self.readout = readout = replicate_to_mesh(readout, mesh)
+            self.scaler_state = scaler_state = replicate_to_mesh(
+                scaler_state, mesh
+            )
 
             # Weight arrays enter shard_map replicated, by name, and the
             # static params metadata rides via dataclasses.replace — the
@@ -294,14 +328,31 @@ class StreamingKWS:
     def _place_chunk(self, chunk: np.ndarray) -> jax.Array:
         """Move a host chunk to device; sharded along streams on a mesh so
         the H2D transfer splits across chips and the jitted step sees its
-        operands already laid out (no resharding inside the program)."""
+        operands already laid out (no resharding inside the program).
+
+        On a multi-host mesh each process passes its PROCESS-LOCAL stream
+        rows (n_streams // process_count of them — stream slots are
+        partitioned process-major, matching multihost_mesh's device
+        order) and the result is the global sharded chunk."""
         if self._buf_sharding is not None:
+            if jax.process_count() > 1:
+                return jax.make_array_from_process_local_data(
+                    self._buf_sharding, np.asarray(chunk)
+                )
             return jax.device_put(chunk, self._buf_sharding)
         return jnp.asarray(chunk)
 
+    def _local_streams(self) -> int:
+        """Rows each process feeds per chunk: the full stream axis on one
+        host, this process's partition of it on a multi-host mesh."""
+        if self.mesh is not None and jax.process_count() > 1:
+            return self.n_streams // jax.process_count()
+        return self.n_streams
+
     def _normalize_chunk(self, chunk: np.ndarray) -> np.ndarray:
         return normalize_ingest_chunk(
-            chunk, self.n_streams, self.fcfg.num_samples, fixed_len=False
+            chunk, self._local_streams(), self.fcfg.num_samples,
+            fixed_len=False,
         )
 
     def push(self, chunk: np.ndarray) -> None:
@@ -331,7 +382,7 @@ class StreamingKWS:
             self.scaler_state.mean,
             self.scaler_state.scale,
         )
-        return np.asarray(out)
+        return materialize_stream_output(out, self.mesh)
 
     def predict(self) -> np.ndarray:
         return np.argmax(self.logits(), axis=-1)
@@ -353,7 +404,7 @@ class StreamingKWS:
             dev = chunk
         else:
             dev = self._place_chunk(self._normalize_chunk(chunk))
-        return np.asarray(self._step_device(dev))
+        return materialize_stream_output(self._step_device(dev), self.mesh)
 
     def _step_device(self, dev: jax.Array) -> jax.Array:
         """Dispatch one step on a device-resident chunk; returns the logits
@@ -386,7 +437,9 @@ class StreamingKWS:
             self.readout.w, self.readout.b,
             self.scaler_state.mean, self.scaler_state.scale,
         )
-        return unpack_compact_output(packed)
+        return unpack_compact_output(
+            materialize_stream_output(packed, self.mesh)
+        )
 
     def stream(self, chunks, depth: int = 2):
         """Pipelined serving loop: yields per-chunk logits, bit-equal to
@@ -396,9 +449,14 @@ class StreamingKWS:
 
     def reset(self, stream_idx: Optional[int] = None) -> None:
         if stream_idx is None:
-            buf = jnp.zeros(self.buffer.shape, self.buffer.dtype)
             if self._buf_sharding is not None:
-                buf = jax.device_put(buf, self._buf_sharding)
-            self.buffer = buf
+                from lsm_tpu.parallel.mesh import shard_host_array
+
+                self.buffer = shard_host_array(
+                    np.zeros(self.buffer.shape, self.buffer.dtype),
+                    self.mesh, P(DATA_AXIS, None),
+                )
+            else:
+                self.buffer = jnp.zeros(self.buffer.shape, self.buffer.dtype)
         else:
             self.buffer = self.buffer.at[stream_idx].set(0.0)

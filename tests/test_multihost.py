@@ -87,11 +87,47 @@ WORKER = textwrap.dedent(
         feats_full, labels_global, num_classes=3, mesh=mesh
     )
 
+    # --- Continuous streaming serving across the 2-process mesh ---------
+    # Each process feeds its PROCESS-LOCAL stream rows (4 of 8); logits
+    # all-gather back replicated. Round 4: the engines' state/weight
+    # placement is process-aware, so an always-on server scales across
+    # DCN exactly like the batch stages.
+    from lsm_tpu.config import FrontendConfig
+    from lsm_tpu.models.continuous import ContinuousKWS
+    from lsm_tpu.readout.scaler import ScalerState
+
+    fcfg = FrontendConfig(n_filters=16)
+    d = len(FEATURE_SETS["original"]) * params.n_outputs
+    ro = logistic.LogisticParams(
+        w=jnp.asarray(
+            np.random.default_rng(3).normal(0, 0.1, (d, 4)).astype(np.float32)
+        ),
+        b=jnp.zeros((4,), jnp.float32),
+    )
+    sc = ScalerState(mean=jnp.zeros((d,), jnp.float32),
+                     scale=jnp.ones((d,), jnp.float32))
+    kws = ContinuousKWS(
+        res.init_reservoir(ReservoirConfig(
+            num_neurons=128, num_output_neurons=64, small_world_k=16,
+            mean_weight=0.03,
+        ), n_channels=16),
+        ro, sc, fcfg, "original", n_streams=8, chunk_len=1600, mesh=mesh,
+    )
+    audio_global = (
+        np.random.default_rng(11).standard_normal((8, 3200)) * 0.2
+    ).astype(np.float32)
+    local = audio_global[pid * 4:(pid + 1) * 4]
+    for c in range(2):
+        logits_stream = kws.step(local[:, c * 1600:(c + 1) * 1600])
+    assert logits_stream.shape == (8, 4), logits_stream.shape
+
     if pid == 0:
         np.savez(
             sys.argv[1],
             feats=feats_full,
             w=np.asarray(ridge.w), b=np.asarray(ridge.b),
+            stream_logits=np.asarray(logits_stream),
+            stream_audio=audio_global,
         )
     print(f"worker {pid} done", flush=True)
     """
@@ -170,3 +206,34 @@ def test_two_process_dp_matches_single_process(tmp_path):
     # The separable construction must actually be learned (sanity that the
     # cross-process fit did real work, not just agreed on garbage).
     assert (logits_ref.argmax(axis=1) == labels).mean() == 1.0
+
+    # Continuous streaming across the 2-process mesh must match a
+    # single-process ContinuousKWS on the same audio (same seeds ->
+    # same reservoir/readout; tolerance for reduction order).
+    from lsm_tpu.config import FrontendConfig
+    from lsm_tpu.models.continuous import ContinuousKWS
+    from lsm_tpu.readout.scaler import ScalerState
+
+    fcfg = FrontendConfig(n_filters=16)
+    d = len(keys) * 64
+    ro = logistic.LogisticParams(
+        w=jnp.asarray(
+            np.random.default_rng(3).normal(0, 0.1, (d, 4)).astype(np.float32)
+        ),
+        b=jnp.zeros((4,), jnp.float32),
+    )
+    sc = ScalerState(mean=jnp.zeros((d,), jnp.float32),
+                     scale=jnp.ones((d,), jnp.float32))
+    kws_ref = ContinuousKWS(
+        res.init_reservoir(ReservoirConfig(
+            num_neurons=128, num_output_neurons=64, small_world_k=16,
+            mean_weight=0.03,
+        ), n_channels=16),
+        ro, sc, fcfg, "original", n_streams=8, chunk_len=1600,
+    )
+    audio_global = got["stream_audio"]
+    for c in range(2):
+        ref_logits = kws_ref.step(audio_global[:, c * 1600:(c + 1) * 1600])
+    np.testing.assert_allclose(
+        got["stream_logits"], ref_logits, rtol=1e-4, atol=1e-4
+    )
