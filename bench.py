@@ -204,7 +204,7 @@ def main() -> None:
             def _force(x):
                 return jnp.sum(x)
 
-            def cold_run():
+            def cold_run(wire="int16"):
                 """One decode->H2D->compute pass; returns per-phase seconds
                 and the kept-row count."""
                 t0 = time.perf_counter()
@@ -213,8 +213,10 @@ def main() -> None:
                 # and the jitted program converts on device — bit-equal
                 # to the f32 path at half the H2D bytes, which dominate
                 # the cold path through the relay (io/wav.py docstring).
+                # wire="ulaw" is the opt-in uint8 G.711 wire: half the
+                # bytes again, lossy, measured accuracy-neutral.
                 batch, kept, _ = load_audio_batch(
-                    files, fcfg.sample_rate, fcfg.duration, dtype="int16"
+                    files, fcfg.sample_rate, fcfg.duration, dtype=wire
                 )
                 lab_cold = all_labels[kept]
                 pad = (-batch.shape[0]) % n_chips if mesh is not None else 0
@@ -233,6 +235,12 @@ def main() -> None:
             cold_run()                             # warmup (compiles _force)
             t_dec, t_h2d, t_cmp, n_kept, nbytes = cold_run()
             dt = t_dec + t_h2d + t_cmp
+            # Opt-in uint8 mu-law wire (--audio-wire ulaw): half the H2D
+            # bytes again. Separate program (uint8 ingest), so warm it up
+            # before the timed pass.
+            cold_run("ulaw")
+            u_dec, u_h2d, u_cmp, u_kept, u_bytes = cold_run("ulaw")
+            u_dt = u_dec + u_h2d + u_cmp
         cold_rate = n_kept / dt
         cold_split = {
             "cold_decode_s": round(t_dec, 3),
@@ -245,12 +253,22 @@ def main() -> None:
             "cold_compute_utt_per_sec": round(
                 n_kept / max(t_cmp - floor, 1e-9), 1
             ),
+            "cold_ulaw_utt_per_sec_per_chip": round(
+                u_kept / u_dt / n_chips, 2
+            ),
+            "cold_ulaw_decode_s": round(u_dec, 3),
+            "cold_ulaw_h2d_s": round(u_h2d, 3),
+            "cold_ulaw_compute_s": round(u_cmp, 3),
         }
         log(f"e2e cold (disk+decode+H2D+classify): {n_kept} utterances "
             f"in {dt:.3f}s = {cold_rate:.1f} utt/s "
             f"({cold_rate / n_chips:.1f}/chip); split: decode {t_dec:.3f}s, "
             f"H2D {t_h2d:.3f}s ({cold_split['cold_h2d_mbytes_per_sec']} MB/s "
             f"floor-adjusted), compute {t_cmp:.3f}s")
+        log(f"e2e cold, ulaw wire ({u_bytes / 1e6:.1f} MB vs "
+            f"{nbytes / 1e6:.1f} MB int16): {u_kept} utterances in "
+            f"{u_dt:.3f}s = {u_kept / u_dt:.1f} utt/s; split: decode "
+            f"{u_dec:.3f}s, H2D {u_h2d:.3f}s, compute {u_cmp:.3f}s")
 
     # --- streaming serving capacity (BASELINE configs[4]) ------------------
     # Exact sliding-window mode and continuous (state-carrying) mode at

@@ -40,6 +40,12 @@ def main() -> None:
     parser.add_argument("--output", type=str, default="predictions.npz")
     parser.add_argument("--batch-size", type=int, default=512)
     parser.add_argument("--single-device", action="store_true")
+    parser.add_argument("--audio-wire", type=str, default="int16",
+                        choices=["int16", "ulaw"],
+                        help="Decoder->device format for --data-dir WAVs: "
+                             "int16 (bit-transparent, default) or uint8 "
+                             "G.711 mu-law (quarter the f32 bytes, lossy "
+                             "but measured accuracy-neutral).")
     args = parser.parse_args()
     setup_logging()
 
@@ -67,6 +73,7 @@ def main() -> None:
         feature_set=bundle.feature_set,
         commands=bundle.class_names,
         batch_size=args.batch_size,
+        audio_wire=args.audio_wire,
     )
 
     if args.data_dir is not None:

@@ -161,6 +161,14 @@ def add_extension_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--metrics-out", type=str, default=None,
                    help="Append structured JSONL metric records (per-stage "
                         "rates, w_critico, regime, accuracy) to this file.")
+    p.add_argument("--audio-wire", type=str, default="int16",
+                   choices=["int16", "ulaw"],
+                   help="Decoder->device audio format for raw-WAV stages. "
+                        "int16 (default): bit-transparent for PCM16 "
+                        "corpora at half the f32 bytes. ulaw: uint8 G.711 "
+                        "mu-law, a QUARTER of the f32 bytes — lossy but "
+                        "measured accuracy-neutral (tests/test_ulaw.py); "
+                        "for host->device-bandwidth-bound ingest.")
 
 
 def mesh_from_args(args: argparse.Namespace):
@@ -221,4 +229,5 @@ def build_config(args: argparse.Namespace) -> PipelineConfig:
         commands=commands,
         batch_size=getattr(args, "batch_size", 512),
         check=getattr(args, "check", False),
+        audio_wire=getattr(args, "audio_wire", "int16"),
     )

@@ -192,6 +192,13 @@ class PipelineConfig:
     # and validate stage OUTPUTS host-side (spike 0/1 invariant, finite
     # non-constant features). Costs a pass over the data; defaults off.
     check: bool = False
+    # Decoder->device audio format for the raw-WAV (cold) stages:
+    # "int16" (default) is bit-transparent for PCM16 corpora at half the
+    # f32 H2D bytes; "ulaw" is uint8 G.711 mu-law at a QUARTER of the f32
+    # bytes, decoded on device — lossy (~38 dB speech SNR) but measured
+    # accuracy-neutral (tests/test_ulaw.py, docs/VALIDATION.md). The
+    # featurizer accepts all three wire dtypes (models/frontend.py).
+    audio_wire: str = "int16"
 
 
 def feature_dim(feature_set: str, num_output_neurons: int) -> int:

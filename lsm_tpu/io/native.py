@@ -79,6 +79,21 @@ def _load() -> Optional[ctypes.CDLL]:
                 ]
             except AttributeError:
                 pass
+            # uint8 mu-law wire entry: optional, same fallback story.
+            try:
+                lib.wavio_decode_batch_ulaw.restype = ctypes.c_int
+                lib.wavio_decode_batch_ulaw.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_double,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.c_int,
+                ]
+            except AttributeError:
+                pass
             _lib = lib
             return _lib
         except OSError:
@@ -93,6 +108,11 @@ def available() -> bool:
 def supports_i16() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "wavio_decode_batch_i16")
+
+
+def supports_ulaw() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "wavio_decode_batch_ulaw")
 
 
 def load_audio_batch(
@@ -116,13 +136,27 @@ def load_audio_batch(
         raise RuntimeError("native wavio unavailable")
     if dtype == "int16" and not hasattr(lib, "wavio_decode_batch_i16"):
         raise RuntimeError("native wavio build lacks the int16 entry")
+    if dtype == "ulaw" and not hasattr(lib, "wavio_decode_batch_ulaw"):
+        raise RuntimeError("native wavio build lacks the ulaw entry")
     n = len(paths)
     target = int(sample_rate * duration)
     ok = np.zeros(n, dtype=np.int32)
     c_paths = (ctypes.c_char_p * n)(
         *[os.fsencode(str(p)) for p in paths]
     )
-    if dtype == "int16":
+    if dtype == "ulaw":
+        # uint8 G.711 mu-law wire: quarter of the f32 H2D bytes (lossy,
+        # measured accuracy-neutral — ops/ulaw.py). Rows are byte-identical
+        # to encode_ulaw(<the int16 wire>) including the 0xFF (silence)
+        # padding, so the NumPy fallback in io/wav.py matches bit-for-bit.
+        out = np.full((n, target), 0xFF, dtype=np.uint8)
+        lib.wavio_decode_batch_ulaw(
+            c_paths, n, sample_rate, duration, target,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            n_threads,
+        )
+    elif dtype == "int16":
         out = np.zeros((n, target), dtype=np.int16)
         lib.wavio_decode_batch_i16(
             c_paths, n, sample_rate, duration, target,

@@ -196,6 +196,12 @@ def load_audio_batch(
     the batch, and featurize_batch converts on device — half the H2D
     bytes on the cold disk->predictions path, bit-equal for PCM16
     sources.
+
+    dtype="ulaw" returns the uint8 G.711 mu-law wire (ops/ulaw.py):
+    QUARTER of the f32 H2D bytes, decoded to f32 inside the jitted
+    featurizer. Lossy (~38 dB speech SNR) but measured accuracy-neutral
+    end to end (tests/test_ulaw.py) — for bandwidth-constrained ingest;
+    int16 stays the bit-transparent default.
     """
     target = int(sample_rate * duration)
     if use_native:
@@ -203,7 +209,8 @@ def load_audio_batch(
             from lsm_tpu.io import native
 
             if native.available() and (
-                dtype != "int16" or native.supports_i16()
+                (dtype != "int16" or native.supports_i16())
+                and (dtype != "ulaw" or native.supports_ulaw())
             ):
                 return native.load_audio_batch(
                     paths, sample_rate, duration, dtype=dtype
@@ -229,6 +236,13 @@ def load_audio_batch(
     )
     if dtype == "int16":
         return to_pcm16_wire(batch), kept, errors
+    if dtype == "ulaw":
+        from lsm_tpu.ops.ulaw import encode_ulaw
+
+        # Byte-identical to the native ulaw path: PCM16 samples round-trip
+        # through f32 exactly (n/32768 * 32768 truncates back to n), and
+        # zero padding encodes to 0xFF just like the native row memset.
+        return encode_ulaw(to_pcm16_wire(batch)), kept, errors
     return batch, kept, errors
 
 

@@ -82,11 +82,20 @@ def featurize_batch(audio: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
         (io/wav.py:59) — BIT-EQUAL for PCM16-sourced audio and half the
         host->device bytes, which dominate the cold (disk -> predictions)
         path through the relay (docs/VALIDATION.md "Cold-path PCM16
-        wire"). Already padded/truncated to 1 s either way.
+        wire") — OR uint8 G.711 mu-law decoded on device
+        (ops/ulaw.py:decode_ulaw_device): a QUARTER of the f32 bytes,
+        lossy but measured accuracy-neutral (tests/test_ulaw.py) — the
+        same three-format wire contract as the streaming engines'
+        normalize_ingest_chunk. Already padded/truncated to 1 s either
+        way.
     Returns:
       (B, n_filters * redundancy_factor, time_bins * n_thresholds) uint8.
     """
-    if audio.dtype == jnp.int16:
+    if audio.dtype == jnp.uint8:
+        from lsm_tpu.ops.ulaw import decode_ulaw_device
+
+        audio = decode_ulaw_device(audio)
+    elif audio.dtype == jnp.int16:
         audio = audio.astype(jnp.float32) / 32768.0
     spec_db = spectrogram_db(audio, cfg)
     spec_norm = db_ops.minmax_normalize(spec_db)

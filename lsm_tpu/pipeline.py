@@ -265,16 +265,19 @@ def create_spike_dataset(
     ]
 
     def _decode(start: int, stop: int):
-        # int16 PCM device wire: BIT-EQUAL spikes for PCM16-sourced files
-        # (all of Speech Commands) at half the H2D bytes — the cold path
-        # is H2D-bound through the relay (docs/VALIDATION.md "Cold-path
-        # PCM16 wire"); the native decoder memcpys PCM16-at-rate files
-        # without any float round-trip. Float/24-bit/resampled sources
-        # quantize at the 16-bit step (~3e-5 — the precision the
-        # reference's own 16-bit corpus carries).
+        # Audio device wire (cfg.audio_wire). Default int16 PCM: BIT-EQUAL
+        # spikes for PCM16-sourced files (all of Speech Commands) at half
+        # the H2D bytes — the cold path is H2D-bound through the relay
+        # (docs/VALIDATION.md "Cold-path PCM16 wire"); the native decoder
+        # memcpys PCM16-at-rate files without any float round-trip.
+        # Float/24-bit/resampled sources quantize at the 16-bit step
+        # (~3e-5 — the precision the reference's own 16-bit corpus
+        # carries). "ulaw" halves the wire again (uint8 G.711, decoded on
+        # device): lossy, measured accuracy-neutral — opt in where H2D
+        # bandwidth is the wall.
         return load_audio_batch(
             idx.files[start:stop], fcfg.sample_rate, fcfg.duration,
-            dtype="int16",
+            dtype=cfg.audio_wire,
         )
 
     with ThreadPoolExecutor(max_workers=1) as pool:

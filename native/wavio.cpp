@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -304,28 +305,94 @@ void process_one_i16(const char* path, int sample_rate, double duration,
   *ok = 1;
 }
 
-}  // namespace
+// G.711 mu-law encode via a 64 KB int16 lookup table, built once with the
+// exact CCITT algorithm the Python twin uses (lsm_tpu/ops/ulaw.py:
+// encode_ulaw — clip +-32635, bias 0x84, 8 exponent segments, complement).
+// One table lookup per sample keeps the PCM16 fast path a streaming pass
+// over the raw file bytes: no float round-trip, ~1 byte out per 2 in.
+const uint8_t* ulaw_table() {
+  static uint8_t table[65536];
+  static std::once_flag once;
+  std::call_once(once, []() {
+    for (int i = 0; i < 65536; ++i) {
+      int32_t x = static_cast<int16_t>(i);
+      int sign = x < 0 ? 0x80 : 0;
+      int32_t mag = x < 0 ? -x : x;
+      if (mag > 32635) mag = 32635;
+      mag += 0x84;
+      int exp = 7;
+      for (int mask = 0x4000; (mag & mask) == 0 && exp > 0; mask >>= 1) --exp;
+      int mant = (mag >> (exp + 3)) & 0x0F;
+      table[i] = static_cast<uint8_t>(~(sign | (exp << 4) | mant));
+    }
+  });
+  return table;
+}
 
-extern "C" {
+void process_one_ulaw(const char* path, int sample_rate, double duration,
+                      int target_len, uint8_t* row, int* ok) {
+  // uint8 G.711 mu-law output mode: the bandwidth-constrained device wire
+  // (quarter of f32, half of int16; featurize_batch decodes on device via
+  // ops/ulaw.py:decode_ulaw_device). LOSSY (~38 dB SNR for speech) but
+  // measured accuracy-neutral end to end (tests/test_ulaw.py, docs/
+  // VALIDATION.md "Streaming serving ingest"); the lossless int16 wire
+  // stays the default. Byte-identical to encode_ulaw(<int16 wire>) from
+  // either backend: PCM16-at-rate files stream through the LUT directly,
+  // everything else decodes f32 and quantizes with the to_pcm16_wire
+  // convention first.
+  const uint8_t* lut = ulaw_table();
+  std::vector<uint8_t> raw;
+  // Zero int16 PCM encodes to mu-law byte 0xFF, so padding is 0xFF too
+  // (decode(0xFF) == 0 — the silent-padding contract of io/wav.py).
+  std::memset(row, 0xFF, target_len);
+  *ok = 0;
+  if (!read_file(path, raw)) return;
+  WavInfo w;
+  if (!parse_wav(raw, &w)) return;
+  if (w.fmt == 1 && w.bits == 16 && w.channels == 1 &&
+      w.rate == static_cast<uint32_t>(sample_rate)) {
+    size_t n_frames = w.data_size / 2;
+    size_t max_src = static_cast<size_t>(duration * w.rate);
+    if (n_frames > max_src) n_frames = max_src;
+    if (n_frames > static_cast<size_t>(target_len))
+      n_frames = static_cast<size_t>(target_len);
+    for (size_t i = 0; i < n_frames; ++i)
+      row[i] = lut[rd_u16(w.data + 2 * i)];
+    *ok = 1;
+    return;
+  }
+  std::vector<float> mono, res;
+  uint32_t rate = 0;
+  if (!decode_wav_mono(raw, mono, &rate)) return;
+  size_t max_src = static_cast<size_t>(duration * rate);
+  if (mono.size() > max_src) mono.resize(max_src);
+  resample_sinc(mono, rate, static_cast<uint32_t>(sample_rate), res);
+  size_t n = res.size() < static_cast<size_t>(target_len)
+                 ? res.size()
+                 : static_cast<size_t>(target_len);
+  for (size_t i = 0; i < n; ++i) {
+    float v = res[i] * 32768.0f;
+    if (v > 32767.0f) v = 32767.0f;
+    if (v < -32768.0f) v = -32768.0f;
+    row[i] = lut[static_cast<uint16_t>(static_cast<int16_t>(v))];
+  }
+  *ok = 1;
+}
 
-// Decode `n` files into out[n * target_len]; ok[i] = 1 on success.
-// Returns the number of successfully decoded files.
-int wavio_decode_batch(const char** paths, int n, int sample_rate,
-                       double duration, int target_len, float* out, int* ok,
-                       int n_threads) {
+// Shared dynamic-scheduling worker pool for the batch entry points.
+template <typename Fn>
+int run_batch(int n, int n_threads, int* ok, Fn&& per_item) {
   if (n_threads <= 0) {
     n_threads = static_cast<int>(std::thread::hardware_concurrency());
     if (n_threads <= 0) n_threads = 1;
   }
   if (n_threads > n) n_threads = n > 0 ? n : 1;
-
   std::atomic<int> next(0);
   auto worker = [&]() {
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      process_one(paths[i], sample_rate, duration, target_len,
-                  out + static_cast<size_t>(i) * target_len, ok + i);
+      per_item(i);
     }
   };
   if (n_threads == 1) {
@@ -341,37 +408,43 @@ int wavio_decode_batch(const char** paths, int n, int sample_rate,
   return n_ok;
 }
 
+}  // namespace
+
+extern "C" {
+
+// Decode `n` files into out[n * target_len]; ok[i] = 1 on success.
+// Returns the number of successfully decoded files.
+int wavio_decode_batch(const char** paths, int n, int sample_rate,
+                       double duration, int target_len, float* out, int* ok,
+                       int n_threads) {
+  return run_batch(n, n_threads, ok, [&](int i) {
+    process_one(paths[i], sample_rate, duration, target_len,
+                out + static_cast<size_t>(i) * target_len, ok + i);
+  });
+}
+
 // int16-wire variant of wavio_decode_batch (optional symbol: older .so
 // builds lack it and callers fall back to the f32 path + host convert).
 int wavio_decode_batch_i16(const char** paths, int n, int sample_rate,
                            double duration, int target_len, int16_t* out,
                            int* ok, int n_threads) {
-  if (n_threads <= 0) {
-    n_threads = static_cast<int>(std::thread::hardware_concurrency());
-    if (n_threads <= 0) n_threads = 1;
-  }
-  if (n_threads > n) n_threads = n > 0 ? n : 1;
+  return run_batch(n, n_threads, ok, [&](int i) {
+    process_one_i16(paths[i], sample_rate, duration, target_len,
+                    out + static_cast<size_t>(i) * target_len, ok + i);
+  });
+}
 
-  std::atomic<int> next(0);
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) break;
-      process_one_i16(paths[i], sample_rate, duration, target_len,
-                      out + static_cast<size_t>(i) * target_len, ok + i);
-    }
-  };
-  if (n_threads == 1) {
-    worker();
-  } else {
-    std::vector<std::thread> threads;
-    threads.reserve(n_threads);
-    for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
-    for (auto& t : threads) t.join();
-  }
-  int n_ok = 0;
-  for (int i = 0; i < n; ++i) n_ok += ok[i];
-  return n_ok;
+// uint8 G.711 mu-law wire variant (optional symbol, like _i16): quarter of
+// the f32 H2D bytes for the bandwidth-constrained cold path; lossy — the
+// int16 wire remains the bit-transparent default.
+int wavio_decode_batch_ulaw(const char** paths, int n, int sample_rate,
+                            double duration, int target_len, uint8_t* out,
+                            int* ok, int n_threads) {
+  ulaw_table();  // build once before the workers race on it
+  return run_batch(n, n_threads, ok, [&](int i) {
+    process_one_ulaw(paths[i], sample_rate, duration, target_len,
+                     out + static_cast<size_t>(i) * target_len, ok + i);
+  });
 }
 
 int wavio_abi_version() { return 1; }

@@ -126,3 +126,20 @@ def test_featurize_batch_int16_wire_bit_equal(rng):
     sp_i = np.asarray(featurize_batch(jnp.asarray(pcm), cfg))
     sp_f = np.asarray(featurize_batch(jnp.asarray(f32), cfg))
     np.testing.assert_array_equal(sp_i, sp_f)
+
+
+def test_featurize_batch_ulaw_wire_matches_device_decode(rng):
+    """featurize_batch(uint8 mu-law) == featurize_batch(host-decoded f32)
+    bit-for-bit — the third wire format of the shared ingest contract
+    (ops/ulaw.py; same convention as the streaming engines)."""
+    from lsm_tpu.config import FrontendConfig
+    from lsm_tpu.models.frontend import featurize_batch
+    from lsm_tpu.ops.ulaw import decode_ulaw_reference, encode_ulaw
+
+    pcm = rng.integers(-20000, 20000, (3, 16000)).astype(np.int16)
+    wire = encode_ulaw(pcm)
+    f32 = decode_ulaw_reference(wire).astype(np.float32) / 32768.0
+    cfg = FrontendConfig(n_filters=32)
+    sp_u = np.asarray(featurize_batch(jnp.asarray(wire), cfg))
+    sp_f = np.asarray(featurize_batch(jnp.asarray(f32), cfg))
+    np.testing.assert_array_equal(sp_u, sp_f)

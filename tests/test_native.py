@@ -78,3 +78,40 @@ def test_native_int16_wire_matches_f32_and_fallback(tmp_path, rng):
     )
     assert kept_np == kept_i
     np.testing.assert_array_equal(np_i16, i16)
+
+
+def test_native_ulaw_wire_matches_fallback_and_encoder(tmp_path, rng):
+    """dtype='ulaw' (the bandwidth-constrained device wire): the native
+    LUT fast path (PCM16-at-rate files), its f32-decode+quantize fallback
+    (resampled file), and the NumPy fallback must all be byte-identical
+    to encode_ulaw(<the int16 wire>), including 0xFF (silence) padding."""
+    import scipy.io.wavfile
+
+    from lsm_tpu.ops.ulaw import encode_ulaw
+
+    paths = []
+    for i in range(3):
+        audio = (rng.standard_normal(12000) * 8000).astype(np.int16)
+        p = tmp_path / f"{i}.wav"
+        scipy.io.wavfile.write(p, 16000, audio)      # mono PCM16 @ target
+        paths.append(p)                               # short: exercises pad
+    resampled = tmp_path / "r.wav"
+    scipy.io.wavfile.write(
+        resampled, 8000, (rng.standard_normal(8000) * 8000).astype(np.int16)
+    )
+    paths.append(resampled)                           # forces the slow path
+
+    if not native.supports_ulaw():
+        pytest.skip("native wavio build lacks the ulaw entry")
+    i16, kept_i, _ = native.load_audio_batch(paths, 16000, 1.0, dtype="int16")
+    ul, kept_u, _ = native.load_audio_batch(paths, 16000, 1.0, dtype="ulaw")
+    assert kept_u == kept_i == [0, 1, 2, 3]
+    assert ul.dtype == np.uint8
+    np.testing.assert_array_equal(ul, encode_ulaw(i16))
+    assert (ul[0, 12000:] == 0xFF).all()              # silent padding
+
+    np_ul, kept_np, _ = wav.load_audio_batch(
+        paths, 16000, 1.0, dtype="ulaw", use_native=False
+    )
+    assert kept_np == kept_u
+    np.testing.assert_array_equal(np_ul, ul)

@@ -106,3 +106,38 @@ def test_spikes_to_host_bitpack_roundtrip():
 
     odd = (rng.random((4, 8, 45)) < 0.3).astype(np.uint8)  # 45 % 8 != 0
     np.testing.assert_array_equal(_spikes_to_host(jnp.asarray(odd), 4), odd)
+
+
+def test_create_spike_dataset_ulaw_wire(tmp_path):
+    """audio_wire='ulaw' (--audio-wire): the stage-1 loop ships uint8
+    G.711 chunks and the featurizer decodes on device. The output must
+    bit-equal featurizing the host-decoded wire (exact oracle), and the
+    lossy wire must barely perturb the encoding vs the int16 default."""
+    import dataclasses
+
+    from lsm_tpu import pipeline
+    from lsm_tpu.io.wav import load_audio_batch
+    from lsm_tpu.ops.ulaw import decode_ulaw_reference
+
+    corpus = tmp_path / "corpus"
+    cfg = _small_cfg(n_classes=2)
+    dataset.write_synthetic_corpus(corpus, cfg.commands, n_per_class=6,
+                                   seed=0)
+    ds_i = pipeline.create_spike_dataset(cfg, corpus, mesh=None)
+    cfg_u = dataclasses.replace(cfg, audio_wire="ulaw")
+    ds_u = pipeline.create_spike_dataset(cfg_u, corpus, mesh=None)
+    np.testing.assert_array_equal(ds_u.y_labels, ds_i.y_labels)
+    assert ds_u.x_spikes.shape == ds_i.x_spikes.shape
+
+    idx = dataset.index_speech_commands(corpus, cfg.commands, 1000)
+    wire, kept, _ = load_audio_batch(
+        idx.files, cfg.frontend.sample_rate, cfg.frontend.duration,
+        dtype="ulaw",
+    )
+    assert len(kept) == len(idx.files)
+    f32 = decode_ulaw_reference(wire).astype(np.float32) / 32768.0
+    expected = featurize_audio_array(cfg_u, f32, mesh=None)
+    np.testing.assert_array_equal(ds_u.x_spikes, expected)
+
+    frac_flipped = (ds_u.x_spikes != ds_i.x_spikes).mean()
+    assert frac_flipped < 0.02, frac_flipped
