@@ -72,6 +72,14 @@ def main() -> None:
     parser.add_argument("--per-chunk", action="store_true",
                         help="Print the running prediction after every "
                              "chunk (default: final prediction per stream).")
+    parser.add_argument("--compact", action="store_true",
+                        help="Use the compact decision egress "
+                             "(step_compact): the device returns packed "
+                             "[top-1 class, f16 top-1/top-2 margin] — 4 "
+                             "bytes/stream off the chip instead of "
+                             "n_classes x 4. Predictions are bit-equal to "
+                             "argmax of the full logits; margins are "
+                             "written to the output file.")
     parser.add_argument("--single-device", action="store_true")
     args = parser.parse_args()
     setup_logging()
@@ -186,37 +194,48 @@ def main() -> None:
     if mode == "continuous":
         # Continuous mode is calibrated for ALWAYS-ON streams (carried
         # state); a file-per-stream demo starts cold, so pre-roll each
-        # stream with its neighbor's audio — the same carried-state
-        # protocol fit_continuous_readout trains on. A real deployment
-        # simply keeps feeding the live stream and needs no pre-roll
-        # (only the stream's very first second is warmup).
-        preroll = np.roll(audio, 1, axis=0)
+        # stream with another utterance's audio — the same carried-state
+        # protocol fit_continuous_readout trains on. A fixed-seed
+        # PERMUTATION, not a roll-by-1: the file walk is class-dir-major,
+        # so rolling would hand most streams a same-class predecessor and
+        # flatter the accuracy line (the calibration and its bench use
+        # the same class-independent protocol, models/continuous.py). A
+        # real deployment simply keeps feeding the live stream and needs
+        # no pre-roll (only the stream's very first second is warmup).
+        preroll = audio[np.random.default_rng(12345).permutation(n_streams)]
         for c in range(n_chunks):
             kws.step(_to_wire(preroll[:, c * chunk_len:(c + 1) * chunk_len],
                               args.wire))
-    logits = None
+    preds = margins = logits = None
     for c in range(n_chunks):
-        logits = kws.step(_to_wire(audio[:, c * chunk_len:(c + 1) * chunk_len],
-                                   args.wire))
-        if args.per_chunk:
+        wire_chunk = _to_wire(
+            audio[:, c * chunk_len:(c + 1) * chunk_len], args.wire
+        )
+        if args.compact:
+            preds_all, margins = kws.step_compact(wire_chunk)
+            preds = preds_all[:n_real]
+        else:
+            logits = kws.step(wire_chunk)
             preds = np.argmax(logits[:n_real], axis=-1)
+        if args.per_chunk:
             head = " ".join(names[p] for p in preds[:8])
             print(f"  chunk {c + 1:3d}/{n_chunks}: {head}"
                   f"{' ...' if n_real > 8 else ''}")
-    preds = np.argmax(logits[:n_real], axis=-1)
 
     # Labels from class-named parent directories, where they match.
     class_idx = {c: i for i, c in enumerate(names)}
     labels = np.asarray(
         [class_idx.get(f.parent.name, -1) for f in files], np.int32
     )
-    np.savez_compressed(
-        Path(args.output),
+    out = dict(
         predictions=preds.astype(np.int32),
         labels=labels,
         files=np.asarray([str(f) for f in files]),
         class_names=np.asarray(names),
     )
+    if margins is not None:
+        out["margins"] = np.asarray(margins[:n_real], np.float32)
+    np.savez_compressed(Path(args.output), **out)
     print(f"Final predictions for {n_real} streams -> '{args.output}'")
     counts = np.bincount(preds, minlength=len(names))
     for name, cnt in zip(names, counts):

@@ -106,6 +106,21 @@ def test_stream_kws_cli_end_to_end(tmp_path):
     acc_u = float((uw["predictions"] == uw["labels"]).mean())
     assert acc_u > 0.8, acc_u
 
+    # Compact decision egress (--compact, step_compact): same wire, same
+    # bundle -> predictions BIT-EQUAL to the full-logits run, plus a
+    # finite positive top-1/top-2 margin per stream in the output file.
+    r = _run(
+        [str(REPO / "stream_kws.py"), "--model", "m.npz",
+         "--data-dir", str(corpus), "--single-device",
+         "--wire", "ulaw", "--compact", "--output", "compact.npz"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    cw = np.load(tmp_path / "compact.npz", allow_pickle=False)
+    np.testing.assert_array_equal(cw["predictions"], uw["predictions"])
+    assert cw["margins"].shape == (32,)
+    assert np.isfinite(cw["margins"]).all() and (cw["margins"] >= 0).all()
+
     # Guard: a batch bundle cannot serve continuous mode (and vice versa).
     r = _run(
         [str(REPO / "stream_kws.py"), "--model", "m.npz",
