@@ -98,7 +98,33 @@ def _run_streaming_fit(args, cfg) -> None:
         )
     source = ShardedSpikeDataset(root)
     print(f"Streaming {source.num_samples} samples from '{root}'")
-    names = resolve_commands(args)
+    # The corpus records its own vocabulary and featurization (sharded.py
+    # writer meta): labels are indices into the vocabulary THE CORPUS was
+    # built with, and the saved bundle must carry the frontend the spikes
+    # were actually featurized with — this CLI has no frontend flags, so
+    # without the metadata a mel/64-filter corpus would silently get a
+    # default gammatone/128 bundle. Explicit --commands still wins (the
+    # trainer then validates label range against it).
+    frontend = cfg.frontend
+    meta = source.meta
+    if args.commands:
+        names = resolve_commands(args)
+    elif meta.get("class_names"):
+        names = tuple(meta["class_names"])
+        print(f"Vocabulary from corpus metadata: {len(names)} classes")
+    else:
+        names = resolve_commands(args)
+    if meta.get("frontend"):
+        from lsm_tpu.config import frontend_from_dict
+
+        frontend = frontend_from_dict(meta["frontend"])
+        if frontend != cfg.frontend:
+            print(f"Frontend from corpus metadata: {frontend.filterbank}/"
+                  f"{frontend.n_filters} filters")
+    else:
+        print("WARNING: corpus has no frontend metadata (written by an "
+              "older create_dataset.py); the saved bundle will record the "
+              f"default {frontend.filterbank}/{frontend.n_filters} frontend.")
     metrics = metrics_from_args(args)
     t0 = time.perf_counter()
     result = extract_and_train_streaming(
@@ -114,7 +140,7 @@ def _run_streaming_fit(args, cfg) -> None:
 
         save_model(
             Path(args.save_model), result.params, result.readout,
-            result.scaler, cfg.frontend, cfg.feature_set, names,
+            result.scaler, frontend, cfg.feature_set, names,
         )
         print(f"Model bundle saved to '{args.save_model}'")
     if metrics:

@@ -203,3 +203,19 @@ class PipelineConfig:
 
 def feature_dim(feature_set: str, num_output_neurons: int) -> int:
     return len(FEATURE_SETS[feature_set]) * num_output_neurons
+
+
+def frontend_to_dict(cfg: FrontendConfig) -> dict:
+    """JSON-serializable FrontendConfig (sharded-dataset metadata)."""
+    return dataclasses.asdict(cfg)
+
+
+def frontend_from_dict(d: dict) -> FrontendConfig:
+    """Inverse of frontend_to_dict. Tolerates unknown keys (metadata
+    written by a newer version) and coerces JSON lists back to the
+    tuple fields."""
+    fields = {f.name for f in dataclasses.fields(FrontendConfig)}
+    kw = {k: v for k, v in d.items() if k in fields}
+    if "spike_thresholds" in kw:
+        kw["spike_thresholds"] = tuple(kw["spike_thresholds"])
+    return FrontendConfig(**kw)

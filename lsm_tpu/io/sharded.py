@@ -49,6 +49,7 @@ class ShardedSpikeDatasetWriter:
         resume: bool = False,
         compress: bool = True,
         fingerprint: Optional[str] = None,
+        meta: Optional[dict] = None,
     ):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
@@ -63,6 +64,12 @@ class ShardedSpikeDatasetWriter:
         # adding files (which shifts sorted file indices) between runs would
         # silently mix featurizations in one dataset.
         self.fingerprint = fingerprint
+        # Descriptive metadata carried into the journal header + manifest
+        # (e.g. the FrontendConfig the spikes were featurized with and the
+        # class-name vocabulary), so downstream consumers — the streaming
+        # trainer's --save-model bundle in particular — can recover the
+        # TRUE featurization instead of assuming defaults.
+        self.meta = dict(meta or {})
         self._x: List[np.ndarray] = []
         self._y: List[np.ndarray] = []
         self._f: List[np.ndarray] = []
@@ -88,6 +95,7 @@ class ShardedSpikeDatasetWriter:
             return
         entries = []
         header_fp = None
+        header_meta: Optional[dict] = None
         for i, line in enumerate(journal.read_text().splitlines()):
             line = line.strip()
             if not line:
@@ -98,6 +106,7 @@ class ShardedSpikeDatasetWriter:
                 break  # truncated trailing line from a crash mid-append
             if "header" in e:
                 header_fp = e["header"].get("fingerprint")
+                header_meta = e["header"].get("meta")
                 continue
             if not (self.root / e["file"]).exists():
                 break  # journal ahead of disk (shouldn't happen; be safe)
@@ -113,12 +122,22 @@ class ShardedSpikeDatasetWriter:
             self._shards = entries
             self.resume_file_index = entries[-1]["last_file_index"]
             self._header_written = True
+            if header_meta is not None:
+                # The fingerprint matched, so the stored meta describes the
+                # same featurization — keep it over the caller's copy.
+                self.meta = header_meta
             # Rewrite the journal to exactly the validated prefix, dropping
             # any truncated/orphaned tail.
             with open(journal, "w") as f:
-                f.write(json.dumps({"header": {"fingerprint": header_fp}}) + "\n")
+                f.write(json.dumps(self._header()) + "\n")
                 for e in entries:
                     f.write(json.dumps(e) + "\n")
+
+    def _header(self) -> dict:
+        h = {"fingerprint": self.fingerprint}
+        if self.meta:
+            h["meta"] = self.meta
+        return {"header": h}
 
     def completed_shards(self) -> List[dict]:
         return list(self._shards)
@@ -169,10 +188,7 @@ class ShardedSpikeDatasetWriter:
         # The incremental manifest: journal the shard the moment it exists.
         with open(self.root / _JOURNAL, "a") as jf:
             if not self._header_written:
-                jf.write(
-                    json.dumps({"header": {"fingerprint": self.fingerprint}})
-                    + "\n"
-                )
+                jf.write(json.dumps(self._header()) + "\n")
                 self._header_written = True
             jf.write(json.dumps(entry) + "\n")
             jf.flush()
@@ -189,6 +205,8 @@ class ShardedSpikeDatasetWriter:
             "num_samples": int(sum(s["num_samples"] for s in self._shards)),
             "shards": self._shards,
         }
+        if self.meta:
+            manifest["meta"] = self.meta
         (self.root / _MANIFEST).write_text(json.dumps(manifest, indent=2))
         return manifest
 
@@ -212,6 +230,7 @@ class ShardedSpikeDataset:
             # append and shard fsync can reference a missing file — keep
             # the valid, on-disk prefix (mirrors the writer's _load_journal).
             shards: List[dict] = []
+            journal_meta: Optional[dict] = None
             for line in (self.root / _JOURNAL).read_text().splitlines():
                 if not line.strip():
                     continue
@@ -220,6 +239,7 @@ class ShardedSpikeDataset:
                 except json.JSONDecodeError:
                     break                      # truncated tail: stop here
                 if "header" in e:
+                    journal_meta = e["header"].get("meta")
                     continue
                 if not (self.root / e["file"]).exists():
                     break
@@ -230,12 +250,21 @@ class ShardedSpikeDataset:
                 "shards": shards,
                 "partial": True,
             }
+            if journal_meta:
+                self.manifest["meta"] = journal_meta
         else:
             raise FileNotFoundError(f"no manifest or journal at {self.root}")
 
     @property
     def num_samples(self) -> int:
         return self.manifest["num_samples"]
+
+    @property
+    def meta(self) -> dict:
+        """Writer-recorded metadata ({} for datasets written before it
+        existed): 'frontend' (FrontendConfig dict — see
+        config.frontend_from_dict) and 'class_names'."""
+        return self.manifest.get("meta", {})
 
     @property
     def is_partial(self) -> bool:

@@ -715,12 +715,11 @@ class ContinuousKWS:
         return st
 
     def _local_streams(self) -> int:
-        """Rows each process feeds per chunk: the full stream axis on one
-        host, this process's partition of it on a multi-host mesh
-        (process-major slots, matching multihost_mesh's device order)."""
-        if self.mesh is not None and jax.process_count() > 1:
-            return self.n_streams // jax.process_count()
-        return self.n_streams
+        """Rows each process feeds per chunk (mesh.local_stream_rows, the
+        single definition shared with StreamingKWS)."""
+        from lsm_tpu.parallel.mesh import local_stream_rows
+
+        return local_stream_rows(self.n_streams, self.mesh)
 
     def _normalize_chunk(self, chunk: np.ndarray) -> np.ndarray:
         from lsm_tpu.models.streaming import normalize_ingest_chunk
@@ -730,15 +729,12 @@ class ContinuousKWS:
         )
 
     def _place_chunk(self, chunk: np.ndarray) -> jax.Array:
+        from lsm_tpu.parallel.mesh import place_stream_chunk
+
+        sharding = None
         if self.mesh is not None:
             sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
-            if jax.process_count() > 1:
-                # Each process contributes its process-local stream rows.
-                return jax.make_array_from_process_local_data(
-                    sharding, np.asarray(chunk)
-                )
-            return jax.device_put(chunk, sharding)
-        return jnp.asarray(chunk)
+        return place_stream_chunk(chunk, sharding)
 
     def step(self, chunk) -> np.ndarray:
         """Ingest one (n_streams, chunk_len) chunk and evaluate: ONE fused

@@ -36,6 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lsm_tpu.config import FEATURE_SETS, FrontendConfig
 from lsm_tpu.models import reservoir as res
 from lsm_tpu.models.frontend import featurize_batch
+from lsm_tpu.parallel import mesh as meshlib
 from lsm_tpu.parallel.mesh import DATA_AXIS
 from lsm_tpu.readout import logistic, scaler
 
@@ -95,16 +96,14 @@ def materialize_stream_output(out: jax.Array, mesh: Optional[Mesh]) -> np.ndarra
 
     Single-host: plain np.asarray. On a multi-host mesh the output is
     sharded across processes (not fully addressable), so it first
-    all-gathers to replicated — a jitted identity with replicated output
-    sharding, XLA lowers it to one all-gather over the data axis (DCN
-    across hosts) — and every process returns the FULL (n_streams, ...)
-    array. Callers that only need local rows can slice their process's
-    partition."""
-    if mesh is not None and jax.process_count() > 1:
-        out = jax.jit(
-            lambda x: x, out_shardings=NamedSharding(mesh, P())
-        )(out)
-    return np.asarray(out)
+    all-gathers to replicated — a CACHED jitted identity with replicated
+    output sharding (mesh.host_local; a fresh lambda here would re-trace
+    on every serving step), XLA lowers it to one all-gather over the data
+    axis (DCN across hosts) — and every process returns the FULL
+    (n_streams, ...) array. Callers that only need local rows can slice
+    their process's partition."""
+    del mesh  # host_local reads the sharding off the array itself
+    return np.asarray(meshlib.host_local(out))
 
 
 def compact_output_device(logits: jnp.ndarray) -> jnp.ndarray:
@@ -326,28 +325,14 @@ class StreamingKWS:
         self._step_compact = _step_compact
 
     def _place_chunk(self, chunk: np.ndarray) -> jax.Array:
-        """Move a host chunk to device; sharded along streams on a mesh so
-        the H2D transfer splits across chips and the jitted step sees its
-        operands already laid out (no resharding inside the program).
-
-        On a multi-host mesh each process passes its PROCESS-LOCAL stream
-        rows (n_streams // process_count of them — stream slots are
-        partitioned process-major, matching multihost_mesh's device
-        order) and the result is the global sharded chunk."""
-        if self._buf_sharding is not None:
-            if jax.process_count() > 1:
-                return jax.make_array_from_process_local_data(
-                    self._buf_sharding, np.asarray(chunk)
-                )
-            return jax.device_put(chunk, self._buf_sharding)
-        return jnp.asarray(chunk)
+        """Host chunk -> device, stream-sharded on a mesh; multi-host each
+        process passes its PROCESS-LOCAL rows (mesh.place_stream_chunk,
+        the contract shared with ContinuousKWS)."""
+        return meshlib.place_stream_chunk(chunk, self._buf_sharding)
 
     def _local_streams(self) -> int:
-        """Rows each process feeds per chunk: the full stream axis on one
-        host, this process's partition of it on a multi-host mesh."""
-        if self.mesh is not None and jax.process_count() > 1:
-            return self.n_streams // jax.process_count()
-        return self.n_streams
+        """Rows each process feeds per chunk (mesh.local_stream_rows)."""
+        return meshlib.local_stream_rows(self.n_streams, self.mesh)
 
     def _normalize_chunk(self, chunk: np.ndarray) -> np.ndarray:
         return normalize_ingest_chunk(

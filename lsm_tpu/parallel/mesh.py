@@ -9,6 +9,7 @@ role in GPU stacks.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -75,14 +76,17 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> Tuple[np.nda
 def shard_batch(x: np.ndarray, mesh: Mesh) -> jax.Array:
     """Place a host batch onto the mesh, sharded along the data axis.
 
-    Multi-host: each process passes its PROCESS-LOCAL rows (the rows this
-    host loaded — utterance loading is naturally partitioned by host) and
-    the result is the global sharded array; single-host keeps the direct
-    device_put fast path."""
+    Contract: `x` is the FULL batch, present identically on every process.
+    Every batch-pipeline caller satisfies this — the file index, synthetic
+    corpora and sharded-dataset reads are deterministic and every process
+    loads the same rows (pipeline._place_batch, bench.py,
+    __graft_entry__.py). Multi-host, each process therefore materializes
+    only its addressable shards of the global array (the others are never
+    transferred); single-host keeps the direct device_put fast path. The
+    streaming engines' per-process-rows placement is separate and
+    documented on StreamingKWS._place_chunk."""
     if jax.process_count() > 1:
-        return jax.make_array_from_process_local_data(
-            batch_sharding(mesh), np.asarray(x)
-        )
+        return shard_host_array(np.asarray(x), mesh)
     return jax.device_put(x, batch_sharding(mesh))
 
 
@@ -97,6 +101,72 @@ def shard_host_array(
     if jax.process_count() > 1:
         return jax.make_array_from_callback(x.shape, sharding, lambda i: x[i])
     return jax.device_put(x, sharding)
+
+
+@functools.lru_cache(maxsize=None)
+def _identity_jit(sharding: NamedSharding):
+    """Cached jitted identity with a fixed output sharding.
+
+    XLA lowers it to the all-gather that materializes a cross-process
+    sharded array as replicated. Cached per sharding so hot serving loops
+    (one call per step) hit the jit trace cache instead of re-tracing a
+    fresh lambda every step."""
+    return jax.jit(lambda x: x, out_shardings=sharding)
+
+
+def host_local(x):
+    """Make a device array materializable on THIS process.
+
+    Single-host (or already replicated / fully addressable): the array
+    itself, untouched — np.asarray and device-side slicing keep their
+    usual fast paths. Multi-host sharded: one all-gather to replicated
+    (DCN across hosts) via the cached jitted identity, so every process
+    holds the full value. This is the device->host twin of shard_batch's
+    full-batch contract."""
+    if (
+        isinstance(x, jax.Array)
+        and not x.is_fully_addressable
+        and not x.is_fully_replicated
+    ):
+        sharding = x.sharding
+        if not isinstance(sharding, NamedSharding):
+            raise TypeError(
+                f"host_local needs a NamedSharding to all-gather, got "
+                f"{type(sharding).__name__}"
+            )
+        x = _identity_jit(NamedSharding(sharding.mesh, P()))(x)
+    return x
+
+
+def local_stream_rows(n_streams: int, mesh: Optional[Mesh]) -> int:
+    """Stream rows each process feeds per serving chunk: the full stream
+    axis on one host, this process's partition on a multi-host mesh
+    (stream slots are partitioned process-major, matching multihost_mesh's
+    device order). The single definition BOTH serving engines share so the
+    multi-host ingest contract cannot drift between them."""
+    if mesh is not None and jax.process_count() > 1:
+        return n_streams // jax.process_count()
+    return n_streams
+
+
+def place_stream_chunk(chunk: np.ndarray, sharding: Optional[NamedSharding]):
+    """Move a host serving chunk to device, stream-sharded when serving on
+    a mesh (the H2D transfer splits across chips and the jitted step sees
+    its operands already laid out — no resharding inside the program).
+
+    Multi-host: each process passes its PROCESS-LOCAL stream rows (see
+    local_stream_rows) — the per-process twin of shard_batch's full-batch
+    contract — and the result is the global sharded chunk. Shared by
+    StreamingKWS and ContinuousKWS."""
+    if sharding is not None:
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(chunk)
+            )
+        return jax.device_put(chunk, sharding)
+    import jax.numpy as jnp
+
+    return jnp.asarray(chunk)
 
 
 def replicate_to_mesh(tree, mesh: Mesh):

@@ -235,9 +235,18 @@ def create_spike_dataset(
             h.update(b"\0")
         fingerprint = h.hexdigest()
 
+        from lsm_tpu.config import frontend_to_dict
+
         writer = ShardedSpikeDatasetWriter(
             sharded_output, shard_size, resume=True, compress=compress,
             fingerprint=fingerprint,
+            # Recorded so corpus consumers (extract_lsm_features.py
+            # --streaming-fit --save-model) can recover the TRUE
+            # featurization + vocabulary instead of assuming defaults.
+            meta={
+                "frontend": frontend_to_dict(cfg.frontend),
+                "class_names": list(cfg.commands),
+            },
         )
         first_file = writer.resume_file_index + 1
         if first_file:
@@ -791,7 +800,19 @@ def extract_and_train_streaming(
     accumulator updates reduce into replicated state via XLA all-reduces
     (the streaming analogue of fit_ridge_dp's psums)."""
     mesh = _resolve_mesh(mesh)
+    names = list(class_names or cfg.commands)
+    k = len(names)
     labels_all = np.asarray(source.labels())
+    # one_hot silently zeroes out-of-range labels, which would corrupt the
+    # ridge statistics (rows counted in the Gram but absent from X^T Y)
+    # instead of failing — so a vocab/corpus mismatch must raise here.
+    if labels_all.size and (labels_all.min() < 0 or labels_all.max() >= k):
+        raise ValueError(
+            f"corpus labels span [{labels_all.min()}, {labels_all.max()}] "
+            f"but the class vocabulary has {k} entries ({names[:4]}...) — "
+            "the sharded dataset was built with a different --vocab/"
+            "--commands than this fit was given"
+        )
     n = labels_all.shape[0]
     idx_tr, idx_te, _, _ = stratified_split(
         np.arange(n), labels_all, cfg.test_size, cfg.split_seed
@@ -857,8 +878,6 @@ def extract_and_train_streaming(
         finalize_ridge, init_ridge_accum, update_ridge_accum,
     )
 
-    names = list(class_names or cfg.commands)
-    k = len(names)
     state = None
     n_train = 0
     n_batches = 0

@@ -39,7 +39,9 @@ def _to_wire(chunk: np.ndarray, wire: str) -> np.ndarray:
     """Encode an f32 chunk into the requested ingest wire format (the
     demo stands in for a network producer; decode happens on device)."""
     if wire == "pcm16":
-        return np.clip(chunk * 32768.0, -32768, 32767).astype(np.int16)
+        from lsm_tpu.io.wav import to_pcm16_wire
+
+        return to_pcm16_wire(chunk)
     if wire == "ulaw":
         from lsm_tpu.ops.ulaw import encode_ulaw_f32
 

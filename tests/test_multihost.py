@@ -34,7 +34,6 @@ WORKER = textwrap.dedent(
 
     import jax.numpy as jnp
     import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
     from lsm_tpu.config import FEATURE_SETS, ReservoirConfig
     from lsm_tpu.models import reservoir as res
     from lsm_tpu.parallel import mesh as meshlib
@@ -71,17 +70,17 @@ WORKER = textwrap.dedent(
     spikes_global = (rng.random((32, 16, 100)) < rates).astype(np.uint8)
 
     pid = jax.process_index()
-    local_rows = spikes_global[pid * 16:(pid + 1) * 16]
-    spikes = meshlib.shard_batch(local_rows, mesh)
+    # shard_batch's contract: the FULL batch, identical on every process
+    # (the batch-pipeline loaders are deterministic); each process
+    # materializes only its addressable shards.
+    spikes = meshlib.shard_batch(spikes_global, mesh)
     params_r = meshlib.replicate_to_mesh(params, mesh)
     feats = extract_features_dp(params_r, spikes, keys, mesh)
 
-    # Materialize the full feature matrix on every host: a jitted identity
-    # with replicated output sharding — XLA lowers it to an all-gather
-    # across the (here cross-process) data axis.
-    feats_full = np.asarray(
-        jax.jit(lambda f: f, out_shardings=NamedSharding(mesh, P()))(feats)
-    )
+    # Materialize the full feature matrix on every host: host_local is a
+    # cached jitted identity with replicated output sharding — XLA lowers
+    # it to an all-gather across the (here cross-process) data axis.
+    feats_full = np.asarray(meshlib.host_local(feats))
 
     ridge = logistic.fit_ridge_dp(
         feats_full, labels_global, num_classes=3, mesh=mesh

@@ -165,3 +165,53 @@ def test_reader_journal_fallback_truncated_tail(tmp_path, rng):
     ds2 = ShardedSpikeDataset(root)
     assert ds2.num_samples == 8
     np.testing.assert_array_equal(ds2.load_all().x_spikes, x[:8])
+
+
+def test_writer_meta_round_trip(tmp_path):
+    """Writer-recorded metadata (frontend + vocabulary) must survive the
+    manifest, the journal-fallback read of a crashed run, AND a resume —
+    the streaming trainer recovers the TRUE featurization from it."""
+    from lsm_tpu.config import frontend_from_dict, frontend_to_dict
+
+    fcfg = FrontendConfig(n_filters=64, filterbank="mel")
+    meta = {"frontend": frontend_to_dict(fcfg), "class_names": ["a", "b"]}
+    root = tmp_path / "ds"
+    w = ShardedSpikeDatasetWriter(root, shard_size=4, fingerprint="cfgA",
+                                  meta=meta)
+    x = np.zeros((6, 2, 3), np.uint8)
+    w.append(x, np.zeros(6, np.int32), np.arange(6))
+    # Crash (no close): journal-fallback reader still sees the meta.
+    ds_partial = ShardedSpikeDataset(root)
+    assert ds_partial.is_partial
+    assert ds_partial.meta["class_names"] == ["a", "b"]
+
+    # Resume under the same fingerprint: the stored meta wins over the
+    # caller's copy (same fingerprint == same featurization).
+    w2 = ShardedSpikeDatasetWriter(root, shard_size=4, resume=True,
+                                   fingerprint="cfgA",
+                                   meta={"class_names": ["x"]})
+    assert w2.meta["class_names"] == ["a", "b"]
+    w2.append(x[4:], np.zeros(2, np.int32), np.arange(4, 6))
+    w2.close()
+
+    ds = ShardedSpikeDataset(root)
+    assert ds.meta["class_names"] == ["a", "b"]
+    rt = frontend_from_dict(ds.meta["frontend"])
+    assert rt == fcfg
+    assert isinstance(rt.spike_thresholds, tuple)
+    # Unknown keys (newer writer) are tolerated.
+    assert frontend_from_dict({**ds.meta["frontend"], "new_knob": 1}) == fcfg
+
+
+def test_pipeline_records_corpus_meta(cfg, corpus_dir, tmp_path):
+    """create_spike_dataset must record the frontend + vocabulary so
+    --streaming-fit consumers never assume defaults."""
+    from lsm_tpu.config import frontend_from_dict
+
+    out = tmp_path / "sharded"
+    pipeline.create_spike_dataset(
+        cfg, corpus_dir, sharded_output=out, shard_size=8, mesh=None
+    )
+    ds = ShardedSpikeDataset(out)
+    assert tuple(ds.meta["class_names"]) == cfg.commands
+    assert frontend_from_dict(ds.meta["frontend"]) == cfg.frontend

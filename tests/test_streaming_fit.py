@@ -175,3 +175,15 @@ def test_streaming_pipeline_mesh_matches_single_device(cfg, sharded_corpus):
     np.testing.assert_allclose(
         meshed.readout.w, single.readout.w, rtol=1e-3, atol=1e-4
     )
+
+
+def test_streaming_fit_rejects_label_vocab_mismatch(cfg, sharded_corpus):
+    """Out-of-range labels must raise, not silently corrupt the ridge
+    statistics (one_hot zeroes them: counted in the Gram, absent from
+    X^T Y)."""
+    sds, _ = sharded_corpus
+    with pytest.raises(ValueError, match="class vocabulary"):
+        pipeline.extract_and_train_streaming(
+            cfg, sds, run_diagnostics=False, mesh=None,
+            class_names=("a", "b"),  # corpus has 3 classes
+        )
