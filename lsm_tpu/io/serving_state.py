@@ -1,0 +1,141 @@
+"""Serving-state checkpoints for the always-on streaming engines.
+
+The reference has stage-granular checkpointing only (its two .npz
+artifacts let a stage re-run; create_dataset.py:175-176). An always-on
+server needs more: the streaming engines carry per-stream state across
+chunks (StreamingKWS: the sample ring buffer; ContinuousKWS: IIR
+cascade, hysteresis triggers, normalization peak/floor, membrane,
+segment/rate-window rings — ~1 s of warmup to rebuild from cold), so a
+restart without a snapshot costs every connected stream its context.
+
+This module is the on-disk format: one .npz holding the engine's
+snapshot() leaves plus a JSON identity header. Restore validates the
+header against the live engine — stream count, frontend, feature set,
+chunk geometry, and a weight checksum (readout + reservoir input
+weights, CRC32 over the exact bytes) — so a snapshot can only be
+installed into an engine that will continue it BIT-EXACTLY; anything
+else fails loudly. Multi-host: snapshot() all-gathers state so every
+process holds the full value — save on process 0; load takes the same
+file on every process and restore() materializes only the addressable
+shards.
+
+Contract test: run k chunks, save, rebuild the engine fresh, load, run
+more chunks — logits bit-equal to the uninterrupted run
+(tests/test_serving_state.py, both engines, single-device and mesh).
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+from lsm_tpu.config import frontend_from_dict, frontend_to_dict
+
+_FORMAT = "lsm_tpu.serving_state.v1"
+
+
+def _weights_crc(kws) -> int:
+    """CRC32 over the weights that shape the state trajectory: restoring
+    a snapshot under different weights would still be shape-valid but the
+    continued stream would not equal the uninterrupted one."""
+    crc = 0
+    for a in (kws.readout.w, kws.readout.b, kws.params.w_in):
+        crc = zlib.crc32(np.ascontiguousarray(np.asarray(a)).tobytes(), crc)
+    return crc
+
+
+def _engine_meta(kws) -> dict:
+    from lsm_tpu.models.continuous import ContinuousKWS
+    from lsm_tpu.models.streaming import StreamingKWS
+
+    if isinstance(kws, ContinuousKWS):
+        engine = "continuous"
+        geometry = {
+            "chunk_len": int(kws.chunk_len),
+            "norm_decay_db_per_bin": float(kws.norm_decay_db_per_bin),
+        }
+    elif isinstance(kws, StreamingKWS):
+        engine = "exact"
+        geometry = {}
+    else:
+        raise TypeError(f"not a streaming engine: {type(kws).__name__}")
+    return {
+        "format": _FORMAT,
+        "engine": engine,
+        "n_streams": int(kws.n_streams),
+        "frontend": frontend_to_dict(kws.fcfg),
+        "feature_keys": list(kws.keys),
+        "weights_crc": _weights_crc(kws),
+        **geometry,
+    }
+
+
+def write_snapshot(path: Path, kws, snap: dict) -> None:
+    """Write an already-taken snapshot() to `path` (.npz). Split from
+    save_serving_state for multi-host callers: snapshot() is an
+    all-gather COLLECTIVE every process must run, while the file write
+    belongs on exactly one process (jax.process_index() == 0)."""
+    # npz member names can't contain ':' on some zip tooling paths; map
+    # the 'seg:<stat>' snapshot keys to 'seg__<stat>' members.
+    arrays = {k.replace("seg:", "seg__"): v for k, v in snap.items()}
+    np.savez_compressed(
+        Path(path), meta=json.dumps(_engine_meta(kws)), **arrays
+    )
+
+
+def save_serving_state(path: Path, kws) -> None:
+    """Snapshot `kws`'s cross-chunk stream state to `path` (.npz).
+
+    Single-host convenience. Multi-host: take kws.snapshot() on EVERY
+    process (it is a collective), then write_snapshot on process 0 only.
+    """
+    write_snapshot(path, kws, kws.snapshot())
+
+
+def load_serving_state(path: Path, kws) -> None:
+    """Validate `path` against `kws`'s identity and install the state.
+
+    Raises ValueError on any mismatch: engine kind, stream count,
+    frontend, feature set, chunk geometry, or weights. After it returns,
+    `kws` continues the saved streams bit-exactly.
+    """
+    with np.load(Path(path), allow_pickle=False) as data:
+        if "meta" not in data.files:
+            raise ValueError(f"'{path}' is not a serving-state snapshot")
+        meta = json.loads(str(data["meta"]))
+        arrays = {
+            k.replace("seg__", "seg:"): data[k]
+            for k in data.files
+            if k != "meta"
+        }
+    if meta.get("format") != _FORMAT:
+        raise ValueError(
+            f"'{path}' has format {meta.get('format')!r} "
+            f"(this build reads: {_FORMAT})"
+        )
+    want = _engine_meta(kws)
+    for key, label in (
+        ("engine", "engine mode"),
+        ("n_streams", "stream count"),
+        ("feature_keys", "feature set"),
+        ("chunk_len", "chunk length"),
+        ("norm_decay_db_per_bin", "normalization decay"),
+    ):
+        if meta.get(key) != want.get(key):
+            raise ValueError(
+                f"snapshot {label} mismatch: saved "
+                f"{meta.get(key)!r}, engine has {want.get(key)!r}"
+            )
+    if frontend_from_dict(meta["frontend"]) != kws.fcfg:
+        raise ValueError(
+            "snapshot frontend configuration does not match this engine's"
+        )
+    if meta["weights_crc"] != want["weights_crc"]:
+        raise ValueError(
+            "snapshot was taken under different model weights — restoring "
+            "it would not continue the streams the snapshot recorded"
+        )
+    kws.restore(arrays)

@@ -639,6 +639,12 @@ class ContinuousKWS:
 
         self.state = self._init_state(n_streams)
 
+    @property
+    def norm_decay_db_per_bin(self) -> float:
+        """The causal normalization decay this engine was built with (a
+        serving-contract knob: bundles and state snapshots persist it)."""
+        return self._decay
+
     def features(self) -> "np.ndarray":
         """Raw (unscaled) window features for the current trailing window —
         exactly the vector the last step() pushed through the readout.
@@ -697,22 +703,24 @@ class ContinuousKWS:
                 (B, no, self.params.n_rate_windows), jnp.float32
             ),
         )
-        if self.mesh is not None:
-            from lsm_tpu.parallel.mesh import shard_host_array
+        return self._place_state(st)
 
-            specs = self._state_pspec()
-            # Process-aware: every leaf is a full init value identical on
-            # every process; shard_host_array materializes only the
-            # addressable shards (multihost_mesh spans processes, where
-            # plain device_put to non-addressable devices fails).
-            st = jax.tree_util.tree_map(
-                lambda x, s: shard_host_array(
-                    np.asarray(x), self.mesh, s
-                ),
-                st, specs,
-                is_leaf=lambda x: isinstance(x, P),
-            )
-        return st
+    def _place_state(self, st: ContinuousState) -> ContinuousState:
+        """Move a host-valued ContinuousState onto the device(s). Each
+        leaf is a FULL (global-shape) value identical on every process;
+        under a mesh shard_host_array materializes only the addressable
+        shards (multihost_mesh spans processes, where plain device_put to
+        non-addressable devices fails)."""
+        if self.mesh is None:
+            return jax.tree_util.tree_map(jnp.asarray, st)
+        from lsm_tpu.parallel.mesh import shard_host_array
+
+        specs = self._state_pspec()
+        return jax.tree_util.tree_map(
+            lambda x, s: shard_host_array(np.asarray(x), self.mesh, s),
+            st, specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
 
     def _local_streams(self) -> int:
         """Rows each process feeds per chunk (mesh.local_stream_rows, the
@@ -837,6 +845,78 @@ class ContinuousKWS:
             # callers invoke reset with identical arguments everywhere).
             m = shard_host_array(mask, self.mesh, P(DATA_AXIS))
         self.state = self._reset_streams(self.state, m)
+
+    def snapshot(self) -> dict:
+        """Host copy of ALL cross-chunk stream state — every
+        ContinuousState leaf (IIR cascade, energy/audio tail, hysteresis
+        triggers, normalization peak/floor, membrane/refractory/spike
+        carry, segment-summary ring, rate-window ring) as a full
+        (global-shape) array. Restoring it into a fresh engine with the
+        same weights continues every stream bit-exactly, warmup included
+        (io/serving_state.py is the on-disk format + validation).
+        Multi-host, each leaf all-gathers so every process holds the full
+        snapshot. Segment-ring entries are keyed 'seg:<stat>'."""
+        from lsm_tpu.parallel.mesh import host_local
+
+        st = self.state
+        out = {
+            k: np.asarray(host_local(getattr(st, k)))
+            for k in ("iir", "tail", "hyst", "norm_hi", "norm_lo",
+                      "v", "refrac", "s_prev", "win_ring")
+        }
+        for k, v in st.segs.items():
+            out[f"seg:{k}"] = np.asarray(host_local(v))
+        return out
+
+    def restore(self, snap: dict) -> None:
+        """Inverse of snapshot(): install a saved state. `snap` carries
+        FULL (global-shape) arrays, identical on every process; under a
+        mesh each process materializes its addressable shards. Every leaf
+        is validated against this engine's state geometry, so a snapshot
+        taken with different streams/frontend/reservoir/chunking fails
+        loudly instead of desynchronizing the rings."""
+        ref = self.state
+
+        def pick(key: str, ref_leaf: jax.Array) -> np.ndarray:
+            if key not in snap:
+                raise ValueError(
+                    f"snapshot is missing state leaf {key!r} — not a "
+                    "ContinuousKWS snapshot, or one from an incompatible "
+                    "build"
+                )
+            a = np.asarray(snap[key])
+            want = (ref_leaf.shape, np.dtype(ref_leaf.dtype))
+            if (a.shape, a.dtype) != want:
+                raise ValueError(
+                    f"snapshot leaf {key!r} is {a.dtype}{a.shape}; this "
+                    f"engine needs {want[1]}{want[0]} — the snapshot was "
+                    "taken with a different stream count, frontend, "
+                    "reservoir, or chunk geometry"
+                )
+            return a
+
+        extra = {
+            k for k in snap
+            if k.startswith("seg:") and k[4:] not in ref.segs
+        }
+        if extra:
+            raise ValueError(
+                f"snapshot has segment stats {sorted(extra)} this engine "
+                "does not track (different feature set)"
+            )
+        st = ContinuousState(
+            iir=pick("iir", ref.iir),
+            tail=pick("tail", ref.tail),
+            hyst=pick("hyst", ref.hyst),
+            norm_hi=pick("norm_hi", ref.norm_hi),
+            norm_lo=pick("norm_lo", ref.norm_lo),
+            v=pick("v", ref.v),
+            refrac=pick("refrac", ref.refrac),
+            s_prev=pick("s_prev", ref.s_prev),
+            segs={k: pick(f"seg:{k}", ref.segs[k]) for k in ref.segs},
+            win_ring=pick("win_ring", ref.win_ring),
+        )
+        self.state = self._place_state(st)
 
 
 def fit_continuous_readout(

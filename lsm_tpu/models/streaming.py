@@ -445,3 +445,30 @@ class StreamingKWS:
                 self.buffer = jnp.zeros(self.buffer.shape, self.buffer.dtype)
         else:
             self.buffer = self.buffer.at[stream_idx].set(0.0)
+
+    def snapshot(self) -> dict:
+        """Host copy of ALL cross-chunk stream state (here: the sample
+        ring buffer). Restoring it into a fresh engine with the same
+        weights continues the stream bit-exactly (io/serving_state.py is
+        the on-disk format + compatibility validation). Multi-host, the
+        state all-gathers so every process holds the full snapshot."""
+        return {"buffer": np.asarray(meshlib.host_local(self.buffer))}
+
+    def restore(self, snap: dict) -> None:
+        """Inverse of snapshot(): install a saved state. `snap` carries
+        FULL (n_streams, ...) arrays, identical on every process; under a
+        mesh each process materializes its addressable shards."""
+        buf = np.asarray(snap["buffer"])
+        want = (self.n_streams, self.fcfg.num_samples)
+        if buf.shape != want or buf.dtype != np.float32:
+            raise ValueError(
+                f"snapshot buffer is {buf.dtype}{buf.shape}; this engine "
+                f"needs float32{want} — the snapshot was taken with a "
+                "different n_streams or frontend"
+            )
+        if self._buf_sharding is not None:
+            from lsm_tpu.parallel.mesh import shard_host_array
+
+            self.buffer = shard_host_array(buf, self.mesh, P(DATA_AXIS, None))
+        else:
+            self.buffer = jnp.asarray(buf)

@@ -83,6 +83,19 @@ def main() -> None:
                              "argmax of the full logits; margins are "
                              "written to the output file.")
     parser.add_argument("--single-device", action="store_true")
+    parser.add_argument("--save-state", type=str, default=None,
+                        help="After serving, snapshot ALL cross-chunk "
+                             "stream state to this .npz "
+                             "(io/serving_state.py): a server restart "
+                             "restores it with --restore-state and every "
+                             "stream continues bit-exactly, warmup "
+                             "included.")
+    parser.add_argument("--restore-state", type=str, default=None,
+                        help="Before serving, restore a --save-state "
+                             "snapshot (validated against this bundle's "
+                             "weights and the engine geometry). Replaces "
+                             "the continuous-mode demo pre-roll: restored "
+                             "streams are already warm.")
     args = parser.parse_args()
     setup_logging()
 
@@ -193,7 +206,16 @@ def main() -> None:
     print(f"Serving {n_real} streams in {mode} mode "
           f"({served_ms} ms chunks, {n_chunks} chunks"
           f"{', mesh x' + str(mesh.shape[meshlib.DATA_AXIS]) if mesh else ''})")
-    if mode == "continuous":
+    if args.restore_state:
+        from lsm_tpu.io.serving_state import load_serving_state
+
+        try:
+            load_serving_state(Path(args.restore_state), kws)
+        except (FileNotFoundError, ValueError) as e:
+            print(f"Error restoring state: {e}", file=sys.stderr)
+            sys.exit(1)
+        print(f"Stream state restored from '{args.restore_state}'")
+    if mode == "continuous" and not args.restore_state:
         # Continuous mode is calibrated for ALWAYS-ON streams (carried
         # state); a file-per-stream demo starts cold, so pre-roll each
         # stream with another utterance's audio — the same carried-state
@@ -223,6 +245,23 @@ def main() -> None:
             head = " ".join(names[p] for p in preds[:8])
             print(f"  chunk {c + 1:3d}/{n_chunks}: {head}"
                   f"{' ...' if n_real > 8 else ''}")
+
+    if args.save_state:
+        import jax
+
+        from lsm_tpu.io.serving_state import save_serving_state, write_snapshot
+
+        # Multi-host: snapshot() runs an all-gather COLLECTIVE, so every
+        # process must take it; only process 0 writes (one writer, no
+        # N-processes-one-path race).
+        if jax.process_count() > 1:
+            snap = kws.snapshot()
+            if jax.process_index() == 0:
+                write_snapshot(Path(args.save_state), kws, snap)
+                print(f"Stream state snapshot -> '{args.save_state}'")
+        else:
+            save_serving_state(Path(args.save_state), kws)
+            print(f"Stream state snapshot -> '{args.save_state}'")
 
     # Labels from class-named parent directories, where they match.
     class_idx = {c: i for i, c in enumerate(names)}

@@ -120,6 +120,11 @@ WORKER = textwrap.dedent(
         logits_stream = kws.step(local[:, c * 1600:(c + 1) * 1600])
     assert logits_stream.shape == (8, 4), logits_stream.shape
 
+    # Serving-state snapshot: a COLLECTIVE (each leaf all-gathers across
+    # the processes), taken on both; process 0 ships it for the oracle
+    # to compare against the single-process engine's snapshot.
+    snap = kws.snapshot()
+
     if pid == 0:
         np.savez(
             sys.argv[1],
@@ -127,6 +132,8 @@ WORKER = textwrap.dedent(
             w=np.asarray(ridge.w), b=np.asarray(ridge.b),
             stream_logits=np.asarray(logits_stream),
             stream_audio=audio_global,
+            **{"snap_" + k.replace("seg:", "seg__"): v
+               for k, v in snap.items()},
         )
     print(f"worker {pid} done", flush=True)
     """
@@ -236,3 +243,14 @@ def test_two_process_dp_matches_single_process(tmp_path):
     np.testing.assert_allclose(
         got["stream_logits"], ref_logits, rtol=1e-4, atol=1e-4
     )
+
+    # The cross-process serving-state snapshot (an all-gather collective
+    # taken on both workers) must carry the same full per-stream state a
+    # single-process engine holds — every ContinuousState leaf.
+    snap_ref = kws_ref.snapshot()
+    for k, v in snap_ref.items():
+        got_leaf = got["snap_" + k.replace("seg:", "seg__")]
+        np.testing.assert_allclose(
+            got_leaf, np.asarray(v), rtol=1e-4, atol=1e-5,
+            err_msg=f"snapshot leaf {k} diverged across processes",
+        )

@@ -1,0 +1,232 @@
+"""Serving-state checkpoint/restore (io/serving_state.py).
+
+Contract: run k chunks, save, rebuild the engine FRESH (same weights),
+load, run more chunks — every subsequent logits array is bit-equal to
+the uninterrupted run. Both engines, single-device and CPU mesh; plus
+the identity validation that keeps a snapshot from being installed into
+an engine that could not continue it bit-exactly.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lsm_tpu.config import FrontendConfig, ReservoirConfig
+from lsm_tpu.io.serving_state import load_serving_state, save_serving_state
+from lsm_tpu.models import reservoir as res
+from lsm_tpu.models.continuous import ContinuousKWS
+from lsm_tpu.models.streaming import StreamingKWS
+from lsm_tpu.readout import logistic, scaler
+
+
+def _weights(seed=0, d=5 * 64, k=4):
+    rng = np.random.default_rng(seed)
+    readout = logistic.LogisticParams(
+        w=jnp.asarray(rng.normal(0, 0.1, (d, k)).astype(np.float32)),
+        b=jnp.zeros((k,), jnp.float32),
+    )
+    st = scaler.ScalerState(
+        mean=jnp.zeros((d,), jnp.float32), scale=jnp.ones((d,), jnp.float32)
+    )
+    return readout, st
+
+
+@pytest.fixture(scope="module")
+def setup():
+    fcfg = FrontendConfig(n_filters=16, filterbank="gammatone")
+    rcfg = ReservoirConfig(
+        num_neurons=128, num_output_neurons=64, small_world_k=16,
+        mean_weight=0.03,
+    )
+    params = res.init_reservoir(rcfg, n_channels=16)
+    readout, st = _weights()
+    return params, readout, st, fcfg
+
+
+def _audio(n_streams, n_chunks, chunk_len, seed=1):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(
+        (n_chunks, n_streams, chunk_len)
+    ).astype(np.float32) * 0.2
+
+
+def _resume_bit_equal(make_engine, chunks, tmp_path):
+    """Drive the save/restore contract for one engine constructor."""
+    k = chunks.shape[0] // 2
+
+    ref = make_engine()
+    ref_out = [ref.step(c) for c in chunks]
+
+    live = make_engine()
+    for c in chunks[:k]:
+        live.step(c)
+    path = tmp_path / "state.npz"
+    save_serving_state(path, live)
+
+    resumed = make_engine()   # fresh: cold state
+    load_serving_state(path, resumed)
+    for i, c in enumerate(chunks[k:]):
+        np.testing.assert_array_equal(
+            resumed.step(c), ref_out[k + i],
+            err_msg=f"post-restore chunk {i} diverged",
+        )
+
+
+def test_streaming_resume_bit_equal(setup, tmp_path):
+    params, readout, st, fcfg = setup
+    chunks = _audio(2, 6, 4000)
+    _resume_bit_equal(
+        lambda: StreamingKWS(params, readout, st, fcfg, "original", 2),
+        chunks, tmp_path,
+    )
+
+
+def test_continuous_resume_bit_equal(setup, tmp_path):
+    params, readout, st, fcfg = setup
+    chunks = _audio(2, 6, 1600)
+    _resume_bit_equal(
+        lambda: ContinuousKWS(params, readout, st, fcfg, "original", 2),
+        chunks, tmp_path,
+    )
+
+
+def test_continuous_resume_bit_equal_mesh(setup, tmp_path):
+    """Snapshot from a single-device engine restores onto a mesh-sharded
+    one (and vice versa): the snapshot holds FULL global-shape arrays,
+    placement is the engine's concern."""
+    from lsm_tpu.parallel.mesh import make_mesh
+
+    params, readout, st, fcfg = setup
+    mesh = make_mesh(n_data=4, n_model=1)
+    chunks = _audio(8, 4, 1600)
+
+    ref = ContinuousKWS(params, readout, st, fcfg, "original", 8)
+    ref_out = [ref.step(c) for c in chunks]
+
+    live = ContinuousKWS(params, readout, st, fcfg, "original", 8)
+    for c in chunks[:2]:
+        live.step(c)
+    path = tmp_path / "state.npz"
+    save_serving_state(path, live)
+
+    resumed = ContinuousKWS(
+        params, readout, st, fcfg, "original", 8, mesh=mesh
+    )
+    load_serving_state(path, resumed)
+    for i, c in enumerate(chunks[2:]):
+        np.testing.assert_allclose(
+            resumed.step(c), ref_out[2 + i], rtol=1e-5, atol=1e-6,
+            err_msg=f"post-restore chunk {i} diverged on the mesh",
+        )
+    # And back: snapshot the meshed engine, restore single-device.
+    save_serving_state(path, resumed)
+    back = ContinuousKWS(params, readout, st, fcfg, "original", 8)
+    load_serving_state(path, back)
+    extra = _audio(8, 1, 1600, seed=9)[0]
+    np.testing.assert_allclose(
+        back.step(extra), ref.step(extra), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_streaming_resume_bit_equal_mesh(setup, tmp_path):
+    from lsm_tpu.parallel.mesh import make_mesh
+
+    params, readout, st, fcfg = setup
+    mesh = make_mesh(n_data=4, n_model=1)
+    chunks = _audio(8, 4, 4000)
+
+    ref = StreamingKWS(params, readout, st, fcfg, "original", 8)
+    ref_out = [ref.step(c) for c in chunks]
+
+    live = StreamingKWS(params, readout, st, fcfg, "original", 8, mesh=mesh)
+    for c in chunks[:2]:
+        live.step(c)
+    path = tmp_path / "state.npz"
+    save_serving_state(path, live)
+
+    resumed = StreamingKWS(params, readout, st, fcfg, "original", 8)
+    load_serving_state(path, resumed)
+    for i, c in enumerate(chunks[2:]):
+        np.testing.assert_allclose(
+            resumed.step(c), ref_out[2 + i], rtol=1e-5, atol=1e-6,
+            err_msg=f"post-restore chunk {i} diverged",
+        )
+
+
+def test_snapshot_identity_validation(setup, tmp_path):
+    params, readout, st, fcfg = setup
+    kws = ContinuousKWS(params, readout, st, fcfg, "original", 2)
+    kws.step(_audio(2, 1, 1600)[0])
+    path = tmp_path / "state.npz"
+    save_serving_state(path, kws)
+
+    # Wrong engine kind.
+    exact = StreamingKWS(params, readout, st, fcfg, "original", 2)
+    with pytest.raises(ValueError, match="engine mode"):
+        load_serving_state(path, exact)
+
+    # Wrong stream count.
+    with pytest.raises(ValueError, match="stream count"):
+        load_serving_state(
+            path, ContinuousKWS(params, readout, st, fcfg, "original", 4)
+        )
+
+    # Wrong chunk geometry.
+    with pytest.raises(ValueError, match="chunk length"):
+        load_serving_state(
+            path,
+            ContinuousKWS(params, readout, st, fcfg, "original", 2,
+                          chunk_len=3200),
+        )
+
+    # Wrong normalization decay.
+    with pytest.raises(ValueError, match="normalization decay"):
+        load_serving_state(
+            path,
+            ContinuousKWS(params, readout, st, fcfg, "original", 2,
+                          norm_decay_db_per_bin=0.2),
+        )
+
+    # Wrong frontend.
+    with pytest.raises(ValueError, match="frontend"):
+        load_serving_state(
+            path,
+            ContinuousKWS(
+                params, readout, st,
+                dataclasses.replace(fcfg, hysteresis_gap=0.2),
+                "original", 2,
+            ),
+        )
+
+    # Different weights: shape-compatible but the continued stream would
+    # not equal the one the snapshot recorded.
+    ro2 = readout._replace(w=readout.w + np.float32(1e-3))
+    with pytest.raises(ValueError, match="different model weights"):
+        load_serving_state(
+            path, ContinuousKWS(params, ro2, st, fcfg, "original", 2)
+        )
+
+    # Not a snapshot at all.
+    bogus = tmp_path / "bogus.npz"
+    np.savez(bogus, x=np.zeros(3))
+    with pytest.raises(ValueError, match="not a serving-state snapshot"):
+        load_serving_state(bogus, kws)
+
+
+def test_restore_rejects_corrupt_leaf_shapes(setup):
+    params, readout, st, fcfg = setup
+    kws = ContinuousKWS(params, readout, st, fcfg, "original", 2)
+    snap = kws.snapshot()
+    bad = dict(snap)
+    bad["v"] = bad["v"][:, :-1]
+    with pytest.raises(ValueError, match="snapshot leaf 'v'"):
+        kws.restore(bad)
+    missing = {k: v for k, v in snap.items() if k != "norm_hi"}
+    with pytest.raises(ValueError, match="missing state leaf"):
+        kws.restore(missing)
+    extra = dict(snap)
+    extra["seg:bogus_stat"] = np.zeros((1,), np.float32)
+    with pytest.raises(ValueError, match="does not track"):
+        kws.restore(extra)

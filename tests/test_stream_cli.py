@@ -121,6 +121,41 @@ def test_stream_kws_cli_end_to_end(tmp_path):
     assert cw["margins"].shape == (32,)
     assert np.isfinite(cw["margins"]).all() and (cw["margins"] >= 0).all()
 
+    # Serving-state checkpoint: snapshot after a continuous run, restore
+    # into a fresh server process (replaces the demo pre-roll — streams
+    # come up already warm), and the restored run still classifies.
+    r = _run(
+        [str(REPO / "stream_kws.py"), "--model", "mc.npz",
+         "--data-dir", str(corpus), "--mode", "continuous",
+         "--single-device", "--save-state", "state.npz",
+         "--output", "cont2.npz"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Stream state snapshot" in r.stdout
+    r = _run(
+        [str(REPO / "stream_kws.py"), "--model", "mc.npz",
+         "--data-dir", str(corpus), "--mode", "continuous",
+         "--single-device", "--restore-state", "state.npz",
+         "--output", "warm.npz"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Stream state restored" in r.stdout
+    warm = np.load(tmp_path / "warm.npz", allow_pickle=False)
+    acc_w = float((warm["predictions"] == warm["labels"]).mean())
+    assert acc_w > 0.6, acc_w
+    # Identity validation: a continuous snapshot cannot enter the exact
+    # engine (or a bundle with different weights).
+    r = _run(
+        [str(REPO / "stream_kws.py"), "--model", "m.npz",
+         "--data-dir", str(corpus), "--single-device",
+         "--restore-state", "state.npz"],
+        tmp_path,
+    )
+    assert r.returncode == 1
+    assert "Error restoring state" in r.stderr
+
     # Guard: a batch bundle cannot serve continuous mode (and vice versa).
     r = _run(
         [str(REPO / "stream_kws.py"), "--model", "m.npz",
