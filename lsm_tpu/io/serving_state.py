@@ -22,6 +22,11 @@ shards.
 Contract test: run k chunks, save, rebuild the engine fresh, load, run
 more chunks — logits bit-equal to the uninterrupted run
 (tests/test_serving_state.py, both engines, single-device and mesh).
+
+migrate_streams builds on the same primitives: move individual live
+streams between engines (any stream counts, single-device or mesh) for
+serving-fleet rebalancing — the moved streams continue bit-exactly in
+their new slots.
 """
 
 from __future__ import annotations
@@ -139,3 +144,68 @@ def load_serving_state(path: Path, kws) -> None:
             "it would not continue the streams the snapshot recorded"
         )
     kws.restore(arrays)
+
+
+def _stream_axis(key: str) -> int:
+    """Axis of a snapshot leaf that indexes streams. ContinuousState is
+    batch-major except `tail` and the segment rings (ring/scan-major,
+    stream axis second); StreamingKWS's `buffer` is batch-major."""
+    return 1 if key == "tail" or key.startswith("seg:") else 0
+
+
+def migrate_streams(src, dst, src_idx, dst_idx) -> None:
+    """Move live stream state between engines: dst slot `dst_idx[i]`
+    continues src stream `src_idx[i]` BIT-EXACTLY, other dst slots
+    untouched. The serving-fleet rebalancing / session-handoff primitive:
+    an always-on pool can drain slots off one engine (host) onto another
+    without costing the moved streams their warm context.
+
+    The engines must be identical up to stream count — same kind,
+    frontend, feature set, chunk geometry, and weights (validated exactly
+    like load_serving_state) — because the moved state only means
+    anything under the same program. Source slots keep their state; call
+    src.reset(src_idx) after a successful migration to recycle them.
+
+    Multi-host: both snapshot() calls are collectives — invoke on every
+    process with identical indices (SPMD), like reset().
+    """
+    a, b = _engine_meta(src), _engine_meta(dst)
+    for key, label in (
+        ("engine", "engine mode"),
+        ("feature_keys", "feature set"),
+        ("chunk_len", "chunk length"),
+        ("norm_decay_db_per_bin", "normalization decay"),
+        ("frontend", "frontend configuration"),
+        ("weights_crc", "model weights"),
+    ):
+        if a.get(key) != b.get(key):
+            raise ValueError(
+                f"cannot migrate streams between engines with different "
+                f"{label}"
+            )
+    src_idx = np.atleast_1d(np.asarray(src_idx, np.int64))
+    dst_idx = np.atleast_1d(np.asarray(dst_idx, np.int64))
+    if src_idx.shape != dst_idx.shape:
+        raise ValueError(
+            f"src_idx has {src_idx.shape[0]} streams, dst_idx "
+            f"{dst_idx.shape[0]} — must pair up one-to-one"
+        )
+    if (src_idx < 0).any() or (src_idx >= src.n_streams).any():
+        raise ValueError(f"src_idx out of range for {src.n_streams} streams")
+    if (dst_idx < 0).any() or (dst_idx >= dst.n_streams).any():
+        raise ValueError(f"dst_idx out of range for {dst.n_streams} streams")
+    if len(set(dst_idx.tolist())) != dst_idx.shape[0]:
+        raise ValueError("dst_idx has duplicate slots")
+
+    snap_src = src.snapshot()
+    snap_dst = dst.snapshot()
+    for key in list(snap_dst):
+        ax = _stream_axis(key)
+        leaf = np.array(snap_dst[key])   # own, writable buffer
+        moved = np.take(snap_src[key], src_idx, axis=ax)
+        idx = tuple(
+            dst_idx if d == ax else slice(None) for d in range(leaf.ndim)
+        )
+        leaf[idx] = moved
+        snap_dst[key] = leaf
+    dst.restore(snap_dst)

@@ -230,3 +230,97 @@ def test_restore_rejects_corrupt_leaf_shapes(setup):
     extra["seg:bogus_stat"] = np.zeros((1,), np.float32)
     with pytest.raises(ValueError, match="does not track"):
         kws.restore(extra)
+
+
+def test_stream_migration_bit_equal(setup):
+    """Move a live stream from a 4-stream engine into slot 0 of a
+    2-stream engine: the moved stream's logits continue bit-equal to the
+    uninterrupted source run, and the destination's other slot is
+    untouched (bit-equal to ITS uninterrupted run). Different stream
+    counts on purpose: per-stream state is batch-independent."""
+    from lsm_tpu.io.serving_state import migrate_streams
+
+    params, readout, st, fcfg = setup
+    mk = lambda n: ContinuousKWS(params, readout, st, fcfg, "original", n)
+    chunks_a = _audio(4, 6, 1600, seed=2)
+    chunks_b = _audio(2, 6, 1600, seed=3)
+
+    ref_a = mk(4)
+    ref_a_out = [ref_a.step(c) for c in chunks_a]
+    ref_b = mk(2)
+    ref_b_out = [ref_b.step(c) for c in chunks_b]
+
+    a, b = mk(4), mk(2)
+    for c in chunks_a[:3]:
+        a.step(c)
+    for c in chunks_b[:3]:
+        b.step(c)
+    migrate_streams(a, b, src_idx=3, dst_idx=0)
+    a.reset(3)
+
+    for i in range(3, 6):
+        mixed = np.stack([chunks_a[i, 3], chunks_b[i, 1]])
+        out = b.step(mixed)
+        np.testing.assert_array_equal(
+            out[0], ref_a_out[i][3],
+            err_msg=f"migrated stream diverged at chunk {i}",
+        )
+        np.testing.assert_array_equal(
+            out[1], ref_b_out[i][1],
+            err_msg=f"untouched dst stream perturbed at chunk {i}",
+        )
+
+
+def test_stream_migration_streaming_engine(setup):
+    from lsm_tpu.io.serving_state import migrate_streams
+
+    params, readout, st, fcfg = setup
+    mk = lambda n: StreamingKWS(params, readout, st, fcfg, "original", n)
+    chunks_a = _audio(3, 4, 4000, seed=4)
+
+    ref = mk(3)
+    ref_out = [ref.step(c) for c in chunks_a]
+
+    a, b = mk(3), mk(2)
+    for c in chunks_a[:2]:
+        a.step(c)
+    # Swap two source streams into the destination, crossed.
+    migrate_streams(a, b, src_idx=[0, 2], dst_idx=[1, 0])
+    for i in range(2, 4):
+        out = b.step(np.stack([chunks_a[i, 2], chunks_a[i, 0]]))
+        np.testing.assert_array_equal(out[1], ref_out[i][0])
+        np.testing.assert_array_equal(out[0], ref_out[i][2])
+
+
+def test_stream_migration_validation(setup):
+    from lsm_tpu.io.serving_state import migrate_streams
+
+    params, readout, st, fcfg = setup
+    a = ContinuousKWS(params, readout, st, fcfg, "original", 2)
+    with pytest.raises(ValueError, match="chunk length"):
+        migrate_streams(
+            a,
+            ContinuousKWS(params, readout, st, fcfg, "original", 2,
+                          chunk_len=3200),
+            0, 0,
+        )
+    with pytest.raises(ValueError, match="engine mode"):
+        migrate_streams(
+            a, StreamingKWS(params, readout, st, fcfg, "original", 2), 0, 0
+        )
+    with pytest.raises(ValueError, match="model weights"):
+        migrate_streams(
+            a,
+            ContinuousKWS(params, readout._replace(b=readout.b + 1), st,
+                          fcfg, "original", 2),
+            0, 0,
+        )
+    b = ContinuousKWS(params, readout, st, fcfg, "original", 2)
+    with pytest.raises(ValueError, match="out of range"):
+        migrate_streams(a, b, 2, 0)
+    with pytest.raises(ValueError, match="out of range"):
+        migrate_streams(a, b, 0, -1)
+    with pytest.raises(ValueError, match="duplicate"):
+        migrate_streams(a, b, [0, 1], [0, 0])
+    with pytest.raises(ValueError, match="one-to-one"):
+        migrate_streams(a, b, [0, 1], [0])
