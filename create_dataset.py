@@ -12,6 +12,8 @@ import argparse
 import time
 from pathlib import Path
 
+import numpy as np
+
 from lsm_tpu.cli.common import (
     add_extension_flags,
     add_frontend_flags,
@@ -57,7 +59,26 @@ def main() -> None:
         )
         spikes = featurize_audio_array(cfg, audio, mesh=mesh)
         ds = artifacts.SpikeDataset(x_spikes=spikes, y_labels=labels)
-        artifacts.save_spike_dataset(Path(args.output), ds)
+        if args.sharded_output:
+            # Honor --sharded-output for synthetic corpora too (one-shot
+            # write, no resume: there is no file list to fingerprint),
+            # with the same frontend/vocabulary metadata the disk path
+            # records — so --streaming-fit works on synthetic datasets.
+            from lsm_tpu.config import frontend_to_dict
+            from lsm_tpu.io.sharded import ShardedSpikeDatasetWriter
+
+            writer = ShardedSpikeDatasetWriter(
+                Path(args.sharded_output), args.shard_size,
+                compress=not args.no_compress,
+                meta={
+                    "frontend": frontend_to_dict(cfg.frontend),
+                    "class_names": list(cfg.commands),
+                },
+            )
+            writer.append(np.asarray(ds.x_spikes), np.asarray(ds.y_labels))
+            writer.close()
+        else:
+            artifacts.save_spike_dataset(Path(args.output), ds)
     else:
         ds = create_spike_dataset(
             cfg,

@@ -45,9 +45,17 @@ _FORMAT = "lsm_tpu.serving_state.v1"
 def _weights_crc(kws) -> int:
     """CRC32 over the weights that shape the state trajectory: restoring
     a snapshot under different weights would still be shape-valid but the
-    continued stream would not equal the uninterrupted one."""
+    continued stream would not equal the uninterrupted one. Covers the
+    readout, the input projection, AND the recurrent weights (dense
+    w_rec / block-sparse w_blocks + src_idx) — the recurrence is what
+    the carried membrane state means anything under."""
+    rec = (
+        (kws.params.w_rec,)
+        if hasattr(kws.params, "w_rec")
+        else (kws.params.w_blocks, kws.params.src_idx)
+    )
     crc = 0
-    for a in (kws.readout.w, kws.readout.b, kws.params.w_in):
+    for a in (kws.readout.w, kws.readout.b, kws.params.w_in, *rec):
         crc = zlib.crc32(np.ascontiguousarray(np.asarray(a)).tobytes(), crc)
     return crc
 

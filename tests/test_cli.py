@@ -129,3 +129,50 @@ def test_cli_missing_artifact_messages(tmp_path):
     r2 = _run([str(REPO / "extract_lsm_features.py")], tmp_path)
     assert r2.returncode == 0
     assert "Error" in r2.stdout
+
+
+@pytest.mark.slow
+def test_cli_streaming_fit_uses_corpus_metadata(tmp_path):
+    """A sharded corpus built with a non-default vocab + frontend trains
+    via --streaming-fit with NO flags repeated: the vocabulary and the
+    featurization come from the corpus metadata, and the saved bundle
+    records them (not the defaults)."""
+    r1 = _run(
+        [str(REPO / "create_dataset.py"), "--synthetic",
+         "--samples-per-class", "8", "--batch-size", "32",
+         "--commands", "yes,no,up,down",
+         "--n-filters", "32", "--filterbank", "mel",
+         "--sharded-output", "sharded_ds"],
+        tmp_path,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+
+    r2 = _run(
+        [str(REPO / "extract_lsm_features.py"), "--streaming-fit",
+         "--input", "sharded_ds", "--save-model", "m.npz",
+         "--num-neurons", "256", "--num-output-neurons", "128",
+         "--batch-size", "32"],
+        tmp_path,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "Vocabulary from corpus metadata: 4 classes" in r2.stdout
+    assert "Frontend from corpus metadata: mel/32" in r2.stdout
+
+    from lsm_tpu.io import model as model_io
+
+    bundle = model_io.load_model(tmp_path / "m.npz")
+    assert bundle.class_names == ("yes", "no", "up", "down")
+    assert bundle.frontend.filterbank == "mel"
+    assert bundle.frontend.n_filters == 32
+
+    # A contradictory explicit vocab must fail loudly (label-range guard),
+    # not silently train a misnamed readout.
+    r3 = _run(
+        [str(REPO / "extract_lsm_features.py"), "--streaming-fit",
+         "--input", "sharded_ds", "--commands", "yes,no",
+         "--num-neurons", "256", "--num-output-neurons", "128",
+         "--batch-size", "32"],
+        tmp_path,
+    )
+    assert r3.returncode != 0
+    assert "class vocabulary" in (r3.stderr + r3.stdout)

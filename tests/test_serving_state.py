@@ -324,3 +324,33 @@ def test_stream_migration_validation(setup):
         migrate_streams(a, b, [0, 1], [0, 0])
     with pytest.raises(ValueError, match="one-to-one"):
         migrate_streams(a, b, [0, 1], [0])
+
+
+def test_sparse_reservoir_resume_and_weight_crc(tmp_path):
+    """Block-sparse reservoirs snapshot/restore too, and the weight
+    checksum covers the RECURRENT weights: two engines identical except
+    w_blocks must not accept each other's snapshots (the carried
+    membrane only means anything under the same recurrence)."""
+    import dataclasses as dc
+
+    from lsm_tpu.models import sparse
+
+    rcfg = ReservoirConfig(
+        num_neurons=256, num_output_neurons=128, small_world_k=52,
+        mean_weight=0.02, input_fanout=6, sparse=True,
+    )
+    sp = sparse.init_reservoir_sparse(rcfg, n_channels=16)
+    fcfg = FrontendConfig(n_filters=16, filterbank="gammatone")
+    readout, st = _weights(d=5 * 128)
+
+    mk = lambda p: ContinuousKWS(p, readout, st, fcfg, "original", 2)
+    chunks = _audio(2, 4, 1600, seed=5)
+    _resume_bit_equal(lambda: mk(sp), chunks, tmp_path)
+
+    live = mk(sp)
+    live.step(chunks[0])
+    path = tmp_path / "state.npz"
+    save_serving_state(path, live)
+    sp2 = dc.replace(sp, w_blocks=sp.w_blocks * np.float32(1.001))
+    with pytest.raises(ValueError, match="different model weights"):
+        load_serving_state(path, mk(sp2))
