@@ -64,16 +64,13 @@ def main() -> None:
             # write, no resume: there is no file list to fingerprint),
             # with the same frontend/vocabulary metadata the disk path
             # records — so --streaming-fit works on synthetic datasets.
-            from lsm_tpu.config import frontend_to_dict
+            from lsm_tpu.config import corpus_meta
             from lsm_tpu.io.sharded import ShardedSpikeDatasetWriter
 
             writer = ShardedSpikeDatasetWriter(
                 Path(args.sharded_output), args.shard_size,
                 compress=not args.no_compress,
-                meta={
-                    "frontend": frontend_to_dict(cfg.frontend),
-                    "class_names": list(cfg.commands),
-                },
+                meta=corpus_meta(cfg),
             )
             writer.append(np.asarray(ds.x_spikes), np.asarray(ds.y_labels))
             writer.close()

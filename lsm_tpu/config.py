@@ -210,6 +210,17 @@ def frontend_to_dict(cfg: FrontendConfig) -> dict:
     return dataclasses.asdict(cfg)
 
 
+def corpus_meta(cfg: "PipelineConfig") -> dict:
+    """Sharded-dataset writer metadata: the featurization + vocabulary a
+    corpus was built with. ONE definition because the keys are a
+    cross-stage contract — extract_lsm_features.py --streaming-fit reads
+    'frontend' and 'class_names' to recover the true featurization."""
+    return {
+        "frontend": frontend_to_dict(cfg.frontend),
+        "class_names": list(cfg.commands),
+    }
+
+
 def frontend_from_dict(d: dict) -> FrontendConfig:
     """Inverse of frontend_to_dict. Tolerates unknown keys (metadata
     written by a newer version) and coerces JSON lists back to the

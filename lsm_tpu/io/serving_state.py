@@ -32,6 +32,7 @@ their new slots.
 from __future__ import annotations
 
 import json
+import zipfile
 import zlib
 from pathlib import Path
 
@@ -42,21 +43,57 @@ from lsm_tpu.config import frontend_from_dict, frontend_to_dict
 _FORMAT = "lsm_tpu.serving_state.v1"
 
 
+# Above this many elements a leaf is fingerprinted ON DEVICE (exact
+# integer sum over the bit patterns, one 8-byte D2H) instead of hashed on
+# host: pulling a 10k-neuron w_rec (~400 MB) through the ~15 MB/s relay
+# just to CRC it would cost ~27 s per call.
+_DEVICE_HASH_THRESHOLD = 1 << 20
+
+
+def _leaf_fingerprint(a) -> bytes:
+    import jax
+    import jax.numpy as jnp
+
+    arr = np.asarray(a) if not isinstance(a, jax.Array) else a
+    if arr.size >= _DEVICE_HASH_THRESHOLD and isinstance(a, jax.Array):
+        # Exact and order-independent: sum the raw bit patterns in uint32
+        # (modular integer adds never round, so the digest is
+        # deterministic across backends/shardings). Weaker than a CRC
+        # against adversarial collisions, which is not the threat model —
+        # this detects the wrong bundle, not a forged one.
+        bits = jax.lax.bitcast_convert_type(
+            a.reshape(-1),
+            jnp.uint32 if a.dtype.itemsize == 4 else jnp.uint8,
+        )
+        total = jnp.sum(bits.astype(jnp.uint32), dtype=jnp.uint32)
+        return int(total).to_bytes(8, "little") + str(a.shape).encode()
+    return np.ascontiguousarray(np.asarray(arr)).tobytes()
+
+
 def _weights_crc(kws) -> int:
-    """CRC32 over the weights that shape the state trajectory: restoring
-    a snapshot under different weights would still be shape-valid but the
-    continued stream would not equal the uninterrupted one. Covers the
-    readout, the input projection, AND the recurrent weights (dense
-    w_rec / block-sparse w_blocks + src_idx) — the recurrence is what
-    the carried membrane state means anything under."""
-    rec = (
-        (kws.params.w_rec,)
-        if hasattr(kws.params, "w_rec")
-        else (kws.params.w_blocks, kws.params.src_idx)
+    """CRC32 identity over EVERYTHING the continued trajectory depends
+    on: every array leaf of the reservoir params (recurrent + input
+    weights, per-neuron leak), the readout, and the scaler moments, plus
+    the params pytree treedef — which carries the static dynamics fields
+    (threshold, refractory, burst_isi_max, n_rate_windows) and the
+    dense/sparse structure. A snapshot restored under ANY difference here
+    would be shape-valid yet silently diverge from the run it recorded.
+
+    Cached on the engine (its weights are immutable after construction),
+    so save/load/migrate pay the device fingerprint pass once per engine
+    lifetime."""
+    cached = getattr(kws, "_serving_weights_crc", None)
+    if cached is not None:
+        return cached
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(
+        (kws.params, kws.readout, kws.scaler_state)
     )
-    crc = 0
-    for a in (kws.readout.w, kws.readout.b, kws.params.w_in, *rec):
-        crc = zlib.crc32(np.ascontiguousarray(np.asarray(a)).tobytes(), crc)
+    crc = zlib.crc32(str(treedef).encode())
+    for a in leaves:
+        crc = zlib.crc32(_leaf_fingerprint(a), crc)
+    kws._serving_weights_crc = crc
     return crc
 
 
@@ -115,15 +152,26 @@ def load_serving_state(path: Path, kws) -> None:
     frontend, feature set, chunk geometry, or weights. After it returns,
     `kws` continues the saved streams bit-exactly.
     """
-    with np.load(Path(path), allow_pickle=False) as data:
-        if "meta" not in data.files:
-            raise ValueError(f"'{path}' is not a serving-state snapshot")
-        meta = json.loads(str(data["meta"]))
-        arrays = {
-            k.replace("seg__", "seg:"): data[k]
-            for k in data.files
-            if k != "meta"
-        }
+    try:
+        with np.load(Path(path), allow_pickle=False) as data:
+            if "meta" not in data.files:
+                raise ValueError(f"'{path}' is not a serving-state snapshot")
+            meta = json.loads(str(data["meta"]))
+            arrays = {
+                k.replace("seg__", "seg:"): data[k]
+                for k in data.files
+                if k != "meta"
+            }
+    except FileNotFoundError:
+        raise
+    except (zipfile.BadZipFile, OSError, json.JSONDecodeError) as e:
+        # A server killed mid --save-state leaves a truncated .npz;
+        # surface it as the same ValueError contract as every other
+        # invalid-snapshot condition instead of a raw zipfile traceback.
+        raise ValueError(
+            f"'{path}' is corrupt or truncated (not a readable "
+            f"serving-state snapshot): {e}"
+        ) from e
     if meta.get("format") != _FORMAT:
         raise ValueError(
             f"'{path}' has format {meta.get('format')!r} "
@@ -174,7 +222,10 @@ def migrate_streams(src, dst, src_idx, dst_idx) -> None:
     anything under the same program. Source slots keep their state; call
     src.reset(src_idx) after a successful migration to recycle them.
 
-    Multi-host: both snapshot() calls are collectives — invoke on every
+    Only the moved rows travel: the source gathers them on device
+    (extract_streams) and the destination scatters them on device
+    (install_streams) — kilobytes per stream, never the engines' full
+    state. Multi-host: the extract is a collective — invoke on every
     process with identical indices (SPMD), like reset().
     """
     a, b = _engine_meta(src), _engine_meta(dst)
@@ -205,15 +256,4 @@ def migrate_streams(src, dst, src_idx, dst_idx) -> None:
     if len(set(dst_idx.tolist())) != dst_idx.shape[0]:
         raise ValueError("dst_idx has duplicate slots")
 
-    snap_src = src.snapshot()
-    snap_dst = dst.snapshot()
-    for key in list(snap_dst):
-        ax = _stream_axis(key)
-        leaf = np.array(snap_dst[key])   # own, writable buffer
-        moved = np.take(snap_src[key], src_idx, axis=ax)
-        idx = tuple(
-            dst_idx if d == ax else slice(None) for d in range(leaf.ndim)
-        )
-        leaf[idx] = moved
-        snap_dst[key] = leaf
-    dst.restore(snap_dst)
+    dst.install_streams(dst_idx, src.extract_streams(src_idx))

@@ -46,6 +46,7 @@ reference has no streaming; BASELINE configs[4] / VERDICT r2 task 8).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Optional
 
@@ -83,6 +84,32 @@ class ContinuousState:
     s_prev: jax.Array     # (B, N_pad) f32 — last step's spike vector
     segs: dict            # stat name -> (n_ring, B, no) f32; ring[0] oldest
     win_ring: jax.Array   # (B, no, n_win) f32 — rate-window counts ring
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _install_rows(state: ContinuousState, idx, rows: dict) -> ContinuousState:
+    """Scatter donor stream rows into slots `idx` of every state leaf
+    (stream axis 0, except the ring-major tail/segs at axis 1). One fused
+    dispatch; the rest of the state is passed through (donated)."""
+
+    def put0(x, r):
+        return x.at[idx].set(r)
+
+    def put1(x, r):
+        return x.at[:, idx].set(r)
+
+    return ContinuousState(
+        iir=put0(state.iir, rows["iir"]),
+        tail=put1(state.tail, rows["tail"]),
+        hyst=put0(state.hyst, rows["hyst"]),
+        norm_hi=put0(state.norm_hi, rows["norm_hi"]),
+        norm_lo=put0(state.norm_lo, rows["norm_lo"]),
+        v=put0(state.v, rows["v"]),
+        refrac=put0(state.refrac, rows["refrac"]),
+        s_prev=put0(state.s_prev, rows["s_prev"]),
+        segs={k: put1(state.segs[k], rows[f"seg:{k}"]) for k in state.segs},
+        win_ring=put0(state.win_ring, rows["win_ring"]),
+    )
 
 
 class ContinuousKWS:
@@ -846,6 +873,20 @@ class ContinuousKWS:
             m = shard_host_array(mask, self.mesh, P(DATA_AXIS))
         self.state = self._reset_streams(self.state, m)
 
+    def _state_leaves(self) -> dict:
+        """Flat name -> device-array view of ContinuousState (segment
+        ring entries keyed 'seg:<stat>') — the snapshot/migration leaf
+        map. Stream axis per leaf: serving_state._stream_axis."""
+        st = self.state
+        d = {
+            k: getattr(st, k)
+            for k in ("iir", "tail", "hyst", "norm_hi", "norm_lo",
+                      "v", "refrac", "s_prev", "win_ring")
+        }
+        for k, v in st.segs.items():
+            d[f"seg:{k}"] = v
+        return d
+
     def snapshot(self) -> dict:
         """Host copy of ALL cross-chunk stream state — every
         ContinuousState leaf (IIR cascade, energy/audio tail, hysteresis
@@ -858,15 +899,60 @@ class ContinuousKWS:
         snapshot. Segment-ring entries are keyed 'seg:<stat>'."""
         from lsm_tpu.parallel.mesh import host_local
 
-        st = self.state
-        out = {
-            k: np.asarray(host_local(getattr(st, k)))
-            for k in ("iir", "tail", "hyst", "norm_hi", "norm_lo",
-                      "v", "refrac", "s_prev", "win_ring")
+        return {
+            k: np.asarray(host_local(v))
+            for k, v in self._state_leaves().items()
         }
-        for k, v in st.segs.items():
-            out[f"seg:{k}"] = np.asarray(host_local(v))
-        return out
+
+    def extract_streams(self, stream_idx) -> dict:
+        """snapshot() restricted to the named stream slot(s): the gather
+        runs ON DEVICE, so only the selected rows cross D2H (and, on a
+        multi-host mesh, the wire) — kilobytes per stream instead of the
+        engine's full state. The unit serving_state.migrate_streams
+        moves. Multi-host: a collective; call on every process with
+        identical indices (SPMD, like reset)."""
+        from lsm_tpu.io.serving_state import _stream_axis
+        from lsm_tpu.parallel.mesh import host_local
+
+        idx = jnp.asarray(np.atleast_1d(np.asarray(stream_idx)), jnp.int32)
+        return {
+            k: np.asarray(host_local(jnp.take(v, idx, axis=_stream_axis(k))))
+            for k, v in self._state_leaves().items()
+        }
+
+    def install_streams(self, stream_idx, rows: dict) -> None:
+        """Inverse of extract_streams: scatter donor stream state into
+        the named slots (device-side; other slots untouched). `rows`
+        carries one row per index along each leaf's stream axis, same
+        leaves/dtypes as extract_streams — validated before any state
+        mutates. Multi-host: SPMD, identical arguments everywhere."""
+        from lsm_tpu.io.serving_state import _stream_axis
+
+        idx = np.atleast_1d(np.asarray(stream_idx))
+        ref = self._state_leaves()
+        missing = set(ref) - set(rows)
+        if missing:
+            raise ValueError(
+                f"donor rows are missing state leaves {sorted(missing)}"
+            )
+        clean = {}
+        for k, leaf in ref.items():
+            ax = _stream_axis(k)
+            want = tuple(
+                idx.shape[0] if d == ax else s
+                for d, s in enumerate(leaf.shape)
+            )
+            r = np.asarray(rows[k])
+            if r.shape != want or r.dtype != np.dtype(leaf.dtype):
+                raise ValueError(
+                    f"donor leaf {k!r} is {r.dtype}{r.shape}; this engine "
+                    f"needs {np.dtype(leaf.dtype)}{want} — the donor engine "
+                    "has a different geometry"
+                )
+            clean[k] = r
+        self.state = _install_rows(
+            self.state, jnp.asarray(idx, jnp.int32), clean
+        )
 
     def restore(self, snap: dict) -> None:
         """Inverse of snapshot(): install a saved state. `snap` carries

@@ -458,6 +458,11 @@ class StreamingKWS:
         """Inverse of snapshot(): install a saved state. `snap` carries
         FULL (n_streams, ...) arrays, identical on every process; under a
         mesh each process materializes its addressable shards."""
+        if "buffer" not in snap:
+            raise ValueError(
+                "snapshot is missing state leaf 'buffer' — not a "
+                "StreamingKWS snapshot"
+            )
         buf = np.asarray(snap["buffer"])
         want = (self.n_streams, self.fcfg.num_samples)
         if buf.shape != want or buf.dtype != np.float32:
@@ -472,3 +477,31 @@ class StreamingKWS:
             self.buffer = shard_host_array(buf, self.mesh, P(DATA_AXIS, None))
         else:
             self.buffer = jnp.asarray(buf)
+
+    def extract_streams(self, stream_idx) -> dict:
+        """snapshot() restricted to the named stream slot(s): the gather
+        runs on device, so only the selected rows cross D2H. The unit
+        serving_state.migrate_streams moves. Multi-host: a collective —
+        call on every process with identical indices (SPMD)."""
+        idx = jnp.asarray(np.atleast_1d(np.asarray(stream_idx)), jnp.int32)
+        return {
+            "buffer": np.asarray(
+                meshlib.host_local(jnp.take(self.buffer, idx, axis=0))
+            )
+        }
+
+    def install_streams(self, stream_idx, rows: dict) -> None:
+        """Inverse of extract_streams: scatter donor rows into the named
+        slots, other slots untouched. Multi-host: SPMD."""
+        idx = np.atleast_1d(np.asarray(stream_idx))
+        if "buffer" not in rows:
+            raise ValueError("donor rows are missing state leaf 'buffer'")
+        r = np.asarray(rows["buffer"])
+        want = (idx.shape[0], self.fcfg.num_samples)
+        if r.shape != want or r.dtype != np.float32:
+            raise ValueError(
+                f"donor leaf 'buffer' is {r.dtype}{r.shape}; this engine "
+                f"needs float32{want} — the donor engine has a different "
+                "geometry"
+            )
+        self.buffer = self.buffer.at[jnp.asarray(idx, jnp.int32)].set(r)

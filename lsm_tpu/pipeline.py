@@ -235,7 +235,7 @@ def create_spike_dataset(
             h.update(b"\0")
         fingerprint = h.hexdigest()
 
-        from lsm_tpu.config import frontend_to_dict
+        from lsm_tpu.config import corpus_meta
 
         writer = ShardedSpikeDatasetWriter(
             sharded_output, shard_size, resume=True, compress=compress,
@@ -243,10 +243,7 @@ def create_spike_dataset(
             # Recorded so corpus consumers (extract_lsm_features.py
             # --streaming-fit --save-model) can recover the TRUE
             # featurization + vocabulary instead of assuming defaults.
-            meta={
-                "frontend": frontend_to_dict(cfg.frontend),
-                "class_names": list(cfg.commands),
-            },
+            meta=corpus_meta(cfg),
         )
         first_file = writer.resume_file_index + 1
         if first_file:

@@ -354,3 +354,17 @@ def test_sparse_reservoir_resume_and_weight_crc(tmp_path):
     sp2 = dc.replace(sp, w_blocks=sp.w_blocks * np.float32(1.001))
     with pytest.raises(ValueError, match="different model weights"):
         load_serving_state(path, mk(sp2))
+
+
+def test_restore_rejects_truncated_file(setup, tmp_path):
+    """A server killed mid --save-state leaves a truncated .npz; loading
+    it must raise the same ValueError contract, not a zipfile
+    traceback."""
+    params, readout, st, fcfg = setup
+    kws = ContinuousKWS(params, readout, st, fcfg, "original", 2)
+    path = tmp_path / "state.npz"
+    save_serving_state(path, kws)
+    data = path.read_bytes()
+    path.write_bytes(data[: len(data) // 2])
+    with pytest.raises(ValueError, match="corrupt or truncated"):
+        load_serving_state(path, kws)
