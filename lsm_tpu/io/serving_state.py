@@ -123,26 +123,41 @@ def _engine_meta(kws) -> dict:
     }
 
 
-def write_snapshot(path: Path, kws, snap: dict) -> None:
+def write_snapshot(path: Path, kws, snap: dict, compress: bool = True) -> None:
     """Write an already-taken snapshot() to `path` (.npz). Split from
     save_serving_state for multi-host callers: snapshot() is an
     all-gather COLLECTIVE every process must run, while the file write
-    belongs on exactly one process (jax.process_index() == 0)."""
+    belongs on exactly one process (jax.process_index() == 0).
+
+    The write is ATOMIC (temp file + rename in the same directory): a
+    server killed mid-checkpoint leaves the previous snapshot intact
+    instead of a truncated file — the property a periodic checkpointer
+    depends on.
+
+    `compress=False` for PERIODIC checkpoints of big engines: zlib on
+    this 1-core host measured ~14 s for a 365 MB state (2048 streams)
+    vs ~1 s uncompressed — the checkpoint interval budget, not disk,
+    is usually the binding constraint. The reader auto-detects either."""
+    import os
+
     # npz member names can't contain ':' on some zip tooling paths; map
     # the 'seg:<stat>' snapshot keys to 'seg__<stat>' members.
     arrays = {k.replace("seg:", "seg__"): v for k, v in snap.items()}
-    np.savez_compressed(
-        Path(path), meta=json.dumps(_engine_meta(kws)), **arrays
-    )
+    path = Path(path)
+    tmp = path.with_name(path.name + ".tmp")
+    writer = np.savez_compressed if compress else np.savez
+    with open(tmp, "wb") as f:   # file handle: numpy can't append '.npz'
+        writer(f, meta=json.dumps(_engine_meta(kws)), **arrays)
+    os.replace(tmp, path)
 
 
-def save_serving_state(path: Path, kws) -> None:
+def save_serving_state(path: Path, kws, compress: bool = True) -> None:
     """Snapshot `kws`'s cross-chunk stream state to `path` (.npz).
 
     Single-host convenience. Multi-host: take kws.snapshot() on EVERY
     process (it is a collective), then write_snapshot on process 0 only.
     """
-    write_snapshot(path, kws, kws.snapshot())
+    write_snapshot(path, kws, kws.snapshot(), compress=compress)
 
 
 def load_serving_state(path: Path, kws) -> None:

@@ -90,6 +90,19 @@ def main() -> None:
                              "restores it with --restore-state and every "
                              "stream continues bit-exactly, warmup "
                              "included.")
+    parser.add_argument("--state-no-compress", action="store_true",
+                        help="Write state snapshots uncompressed: ~14x "
+                             "faster checkpoint writes for big engines "
+                             "on a slow host (zlib measured ~14 s for a "
+                             "365 MB / 2048-stream state) at ~the state "
+                             "size in disk.")
+    parser.add_argument("--save-state-every", type=int, default=0,
+                        metavar="N",
+                        help="With --save-state: ALSO checkpoint every N "
+                             "chunks during serving (atomic temp+rename "
+                             "write, so a kill mid-checkpoint keeps the "
+                             "previous snapshot) — the always-on "
+                             "periodic-checkpoint pattern.")
     parser.add_argument("--restore-state", type=str, default=None,
                         help="Before serving, restore a --save-state "
                              "snapshot (validated against this bundle's "
@@ -230,6 +243,29 @@ def main() -> None:
         for c in range(n_chunks):
             kws.step(_to_wire(preroll[:, c * chunk_len:(c + 1) * chunk_len],
                               args.wire))
+    if args.save_state_every and not args.save_state:
+        print("Error: --save-state-every needs --save-state <path>.",
+              file=sys.stderr)
+        sys.exit(1)
+
+    def _checkpoint() -> None:
+        import jax
+
+        from lsm_tpu.io.serving_state import save_serving_state, write_snapshot
+
+        # Multi-host: snapshot() runs an all-gather COLLECTIVE, so every
+        # process must take it; only process 0 writes (one writer, no
+        # N-processes-one-path race). The write is atomic (temp+rename).
+        compress = not args.state_no_compress
+        if jax.process_count() > 1:
+            snap = kws.snapshot()
+            if jax.process_index() == 0:
+                write_snapshot(Path(args.save_state), kws, snap,
+                               compress=compress)
+        else:
+            save_serving_state(Path(args.save_state), kws,
+                               compress=compress)
+
     preds = margins = logits = None
     for c in range(n_chunks):
         wire_chunk = _to_wire(
@@ -245,22 +281,14 @@ def main() -> None:
             head = " ".join(names[p] for p in preds[:8])
             print(f"  chunk {c + 1:3d}/{n_chunks}: {head}"
                   f"{' ...' if n_real > 8 else ''}")
+        if args.save_state_every and (c + 1) % args.save_state_every == 0:
+            _checkpoint()
 
     if args.save_state:
         import jax
 
-        from lsm_tpu.io.serving_state import save_serving_state, write_snapshot
-
-        # Multi-host: snapshot() runs an all-gather COLLECTIVE, so every
-        # process must take it; only process 0 writes (one writer, no
-        # N-processes-one-path race).
-        if jax.process_count() > 1:
-            snap = kws.snapshot()
-            if jax.process_index() == 0:
-                write_snapshot(Path(args.save_state), kws, snap)
-                print(f"Stream state snapshot -> '{args.save_state}'")
-        else:
-            save_serving_state(Path(args.save_state), kws)
+        _checkpoint()
+        if jax.process_index() == 0:
             print(f"Stream state snapshot -> '{args.save_state}'")
 
     # Labels from class-named parent directories, where they match.

@@ -368,3 +368,41 @@ def test_restore_rejects_truncated_file(setup, tmp_path):
     path.write_bytes(data[: len(data) // 2])
     with pytest.raises(ValueError, match="corrupt or truncated"):
         load_serving_state(path, kws)
+
+
+def test_stream_migration_mesh(setup):
+    """Migration with a mesh-sharded source and single-device destination
+    (and back): the packed device-side gather must produce identical rows
+    whatever the placement."""
+    from lsm_tpu.io.serving_state import migrate_streams
+    from lsm_tpu.parallel.mesh import make_mesh
+
+    params, readout, st, fcfg = setup
+    mesh = make_mesh(n_data=4, n_model=1)
+    chunks_a = _audio(8, 4, 1600, seed=6)
+
+    ref = ContinuousKWS(params, readout, st, fcfg, "original", 8)
+    ref_out = [ref.step(c) for c in chunks_a]
+
+    a = ContinuousKWS(params, readout, st, fcfg, "original", 8, mesh=mesh)
+    for c in chunks_a[:2]:
+        a.step(c)
+    b = ContinuousKWS(params, readout, st, fcfg, "original", 2)
+    migrate_streams(a, b, src_idx=[5, 6], dst_idx=[0, 1])
+    for i in range(2, 4):
+        out = b.step(chunks_a[i, 5:7])
+        np.testing.assert_allclose(
+            out, ref_out[i][5:7], rtol=1e-5, atol=1e-6,
+            err_msg=f"mesh-extracted migration diverged at chunk {i}",
+        )
+    # And into a meshed destination.
+    c_eng = ContinuousKWS(params, readout, st, fcfg, "original", 8, mesh=mesh)
+    migrate_streams(b, c_eng, src_idx=[0], dst_idx=[3])
+    out = c_eng.step(np.repeat(chunks_a[3, 5][None], 8, axis=0))[3]
+    # c_eng slot 3 saw chunks up to i=3 for stream 5's audio... build the
+    # expected value: feed ref's stream-5 audio into a fresh single-dev
+    # engine via the same path instead.
+    d_eng = ContinuousKWS(params, readout, st, fcfg, "original", 2)
+    migrate_streams(b, d_eng, src_idx=[0], dst_idx=[0])
+    out_d = d_eng.step(np.repeat(chunks_a[3, 5][None], 2, axis=0))[0]
+    np.testing.assert_allclose(out, out_d, rtol=1e-5, atol=1e-6)

@@ -128,11 +128,13 @@ def test_stream_kws_cli_end_to_end(tmp_path):
         [str(REPO / "stream_kws.py"), "--model", "mc.npz",
          "--data-dir", str(corpus), "--mode", "continuous",
          "--single-device", "--save-state", "state.npz",
+         "--save-state-every", "3",   # periodic checkpoints en route
          "--output", "cont2.npz"],
         tmp_path,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Stream state snapshot" in r.stdout
+    assert not (tmp_path / "state.npz.tmp").exists()  # atomic rename
     r = _run(
         [str(REPO / "stream_kws.py"), "--model", "mc.npz",
          "--data-dir", str(corpus), "--mode", "continuous",
