@@ -125,6 +125,11 @@ WORKER = textwrap.dedent(
     # to compare against the single-process engine's snapshot.
     snap = kws.snapshot()
 
+    # Row-level extraction across the 2-process mesh: the packed gather
+    # (one fused dispatch) pulls streams 5,6 — rows living on process
+    # 1's shard — identically on BOTH processes (SPMD collective).
+    rows = kws.extract_streams([5, 6])
+
     if pid == 0:
         np.savez(
             sys.argv[1],
@@ -134,6 +139,8 @@ WORKER = textwrap.dedent(
             stream_audio=audio_global,
             **{"snap_" + k.replace("seg:", "seg__"): v
                for k, v in snap.items()},
+            **{"rows_" + k.replace("seg:", "seg__"): v
+               for k, v in rows.items()},
         )
     print(f"worker {pid} done", flush=True)
     """
@@ -253,4 +260,15 @@ def test_two_process_dp_matches_single_process(tmp_path):
         np.testing.assert_allclose(
             got_leaf, np.asarray(v), rtol=1e-4, atol=1e-5,
             err_msg=f"snapshot leaf {k} diverged across processes",
+        )
+
+    # Row-level packed extraction of streams 5,6 (rows on process 1's
+    # shard) must equal the single-process engine's extraction leaf by
+    # leaf — the migration unit is placement-independent.
+    rows_ref = kws_ref.extract_streams([5, 6])
+    for k, v in rows_ref.items():
+        got_rows = got["rows_" + k.replace("seg:", "seg__")]
+        np.testing.assert_allclose(
+            got_rows, np.asarray(v), rtol=1e-4, atol=1e-5,
+            err_msg=f"extracted rows leaf {k} diverged across processes",
         )
