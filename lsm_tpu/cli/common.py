@@ -153,11 +153,13 @@ def add_extension_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--check", action="store_true",
                    help="Debug sanitizer mode: run stages under checkify "
                         "float checks (single-device paths; under a mesh "
-                        "checkify does not compose with shard_map, so only "
-                        "the host-side output validators run) and validate "
-                        "stage outputs (0/1 spikes, finite non-constant "
-                        "features); NaN/Inf fails loudly instead of being "
-                        "papered over. Costs a pass over the data.")
+                        "checkify does not compose with shard_map, so a "
+                        "device-side input finiteness guard plus the "
+                        "host-side output validators run instead) and "
+                        "validate stage outputs (0/1 spikes, finite "
+                        "non-constant features); NaN/Inf fails loudly "
+                        "instead of being papered over. Costs a pass over "
+                        "the data.")
     p.add_argument("--metrics-out", type=str, default=None,
                    help="Append structured JSONL metric records (per-stage "
                         "rates, w_critico, regime, accuracy) to this file.")

@@ -94,8 +94,11 @@ def _featurize(
     check=True (the --check debug mode): the single-device path runs under
     checkify float checks, so a NaN/Inf produced ANYWHERE inside the
     featurizer chain raises a located error instead of silently encoding
-    garbage. The mesh path relies on the host-side output validation in
-    the callers (checkify does not compose with shard_map here)."""
+    garbage. The mesh path cannot checkify (it does not compose with
+    shard_map), so it guards the INPUT with one device-side finiteness
+    reduction here and relies on the callers' host-side output validation
+    for the rest — NaNs born inside the mesh computation surface at the
+    feature validator, one stage later than checkify would locate them."""
     if mesh is None:
         if check:
             from lsm_tpu.utils import checks
@@ -104,7 +107,19 @@ def _featurize(
         return featurize_batch(audio_dev, fcfg)
     from lsm_tpu.parallel.sharded import featurize_dp
 
+    if check and not bool(_all_finite(audio_dev)):
+        raise RuntimeError(
+            "--check failed in featurize (mesh path): non-finite audio "
+            "input (the mesh path cannot run checkify, so the input is "
+            "validated with a device-side reduction instead)"
+        )
     return featurize_dp(audio_dev, fcfg, mesh)
+
+
+@jax.jit
+def _all_finite(x: jax.Array) -> jax.Array:
+    return jnp.isfinite(x).all() if jnp.issubdtype(x.dtype, jnp.floating) \
+        else jnp.asarray(True)
 
 
 def _check_spikes_host(spikes: np.ndarray, context: str) -> None:

@@ -88,3 +88,19 @@ def test_check_flag_reaches_config():
     assert build_config(args).check is True
     args = p.parse_args([])
     assert build_config(args).check is False
+
+
+def test_check_rejects_nan_audio_on_mesh(rng):
+    """The mesh path cannot run checkify (shard_map), so --check guards
+    the input with a device-side finiteness reduction — NaN audio must
+    still fail loudly under a mesh."""
+    cfg = _tiny_cfg()
+    audio = rng.standard_normal((8, 16000)).astype(np.float32) * 0.2
+    audio[3, 1000] = np.nan
+    with pytest.raises(RuntimeError, match="non-finite audio"):
+        pipeline.featurize_audio_array(cfg, audio, mesh="auto")
+    # Clean audio passes, and matches the single-device featurization.
+    audio[3, 1000] = 0.0
+    meshed = pipeline.featurize_audio_array(cfg, audio, mesh="auto")
+    single = pipeline.featurize_audio_array(cfg, audio, mesh=None)
+    np.testing.assert_array_equal(np.asarray(meshed), np.asarray(single))

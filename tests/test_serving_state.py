@@ -406,3 +406,29 @@ def test_stream_migration_mesh(setup):
     migrate_streams(b, d_eng, src_idx=[0], dst_idx=[0])
     out_d = d_eng.step(np.repeat(chunks_a[3, 5][None], 2, axis=0))[0]
     np.testing.assert_allclose(out, out_d, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_bench_state_tool_smoke(tmp_path):
+    """tools/bench_state.py runs end-to-end (tiny geometry, CPU) and
+    prints the parsable summary line — guards the measurement tool the
+    VALIDATION numbers come from."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "bench_state.py"),
+         "--streams", "8", "--migrate-k", "2", "--reps", "1",
+         "--state-path", str(tmp_path / "s.npz")],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = r.stdout.strip().splitlines()[-1]
+    assert line.startswith("streams=8 ") and "migrate2_ms=" in line, line
