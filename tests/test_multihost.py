@@ -130,6 +130,15 @@ WORKER = textwrap.dedent(
     # 1's shard — identically on BOTH processes (SPMD collective).
     rows = kws.extract_streams([5, 6])
 
+    # ... and install them into slots 0,1 (process 0's shard): the full
+    # cross-process migration path. One more step produces logits whose
+    # slots 0,1 must match the oracle's streams 5,6 fed the same audio.
+    kws.install_streams([0, 1], rows)
+    swap_audio = audio_global.copy()
+    swap_audio[[0, 1]] = audio_global[[5, 6]]
+    local_swap = swap_audio[pid * 4:(pid + 1) * 4]
+    logits_after_install = kws.step(local_swap[:, :1600])
+
     if pid == 0:
         np.savez(
             sys.argv[1],
@@ -141,6 +150,7 @@ WORKER = textwrap.dedent(
                for k, v in snap.items()},
             **{"rows_" + k.replace("seg:", "seg__"): v
                for k, v in rows.items()},
+            logits_after_install=np.asarray(logits_after_install),
         )
     print(f"worker {pid} done", flush=True)
     """
@@ -272,3 +282,14 @@ def test_two_process_dp_matches_single_process(tmp_path):
             got_rows, np.asarray(v), rtol=1e-4, atol=1e-5,
             err_msg=f"extracted rows leaf {k} diverged across processes",
         )
+
+    # Full cross-process migration: the worker installed those rows into
+    # slots 0,1 and stepped once more; replay the identical swap here.
+    kws_ref.install_streams([0, 1], rows_ref)
+    swap_audio = audio_global.copy()
+    swap_audio[[0, 1]] = audio_global[[5, 6]]
+    ref_after = kws_ref.step(swap_audio[:, :1600])
+    np.testing.assert_allclose(
+        got["logits_after_install"], ref_after, rtol=1e-4, atol=1e-4,
+        err_msg="post-install logits diverged across processes",
+    )
