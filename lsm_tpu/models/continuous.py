@@ -644,6 +644,20 @@ class ContinuousKWS:
                 _mesh_step_compact, donate_argnums=(1,)
             )
 
+        # Partial-activity ingest: scatter the k active rows into a
+        # silence-filled full wire chunk ON DEVICE, then the normal step
+        # body — one fused dispatch, H2D carries only the active rows.
+        from lsm_tpu.models.streaming import expand_active_rows
+
+        _step_full = _step_local if mesh is None else _mesh_step
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _step_active(p, st, rows, idx, w, b, mean, scale):
+            chunk = expand_active_rows(rows, idx, n_streams)
+            return _step_full(p, st, chunk, w, b, mean, scale)
+
+        self._step_active = _step_active
+
         # Frontend-only entry point (no state donation): used by the
         # bit-level featurizer oracles in tests/test_continuous.py.
         self._featurize = jax.jit(_featurize_chunk)
@@ -838,6 +852,32 @@ class ContinuousKWS:
 
     def predict(self, chunk: np.ndarray) -> np.ndarray:
         return np.argmax(self.step(chunk), axis=-1)
+
+    def step_active(self, rows, active_idx) -> np.ndarray:
+        """step() with only the ACTIVE streams' audio on the wire: `rows`
+        is (k, chunk_len) in any ingest wire format, `active_idx` the k
+        stream slots it belongs to. Silent streams advance on
+        device-synthesized wire silence (streaming.wire_silence), so the
+        logits — and every stream's carried state — are BIT-equal to
+        step() on the full chunk with silence in the inactive rows, at
+        k/n_streams of the H2D bytes (the first-order serving wall). For
+        an always-on fleet at activity factor f the ingest wire shrinks
+        1/f with zero semantic change. Multi-host: SPMD — every process
+        passes the same global rows/idx."""
+        from lsm_tpu.models.streaming import (
+            _validate_active, materialize_stream_output,
+        )
+
+        rows = np.asarray(rows)
+        idx = np.asarray(active_idx, np.int64)
+        _validate_active(rows, idx, self.n_streams, self.chunk_len)
+        self.state, out = self._step_active(
+            self.params, self.state, jnp.asarray(rows),
+            jnp.asarray(idx, jnp.int32),
+            self.readout.w, self.readout.b,
+            self.scaler_state.mean, self.scaler_state.scale,
+        )
+        return materialize_stream_output(out, self.mesh)
 
     def step_compact(self, chunk):
         """step() with the compact decision output: (preds int32 (B,),

@@ -135,6 +135,50 @@ def unpack_compact_output(packed: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return preds, margin
 
 
+def wire_silence(dtype) -> int | float:
+    """The byte a silent stream's producer would have sent, per wire
+    format: 0.0 (f32), 0 (int16 PCM), 0xFF (G.711 mu-law encodes 0 as
+    0xFF — ops/ulaw.py, also the sharded-decoder padding byte). The
+    partial-activity ingest (step_active) synthesizes silent rows from
+    this ON DEVICE, so skipping a silent stream's wire bytes is
+    BIT-equal to sending them."""
+    dt = jnp.dtype(dtype)
+    if dt == jnp.uint8:
+        return 0xFF
+    if dt in (jnp.int16, jnp.float32):
+        return 0
+    raise ValueError(f"not an ingest wire dtype: {dt}")
+
+
+def expand_active_rows(rows: jnp.ndarray, idx: jnp.ndarray,
+                       n_streams: int) -> jnp.ndarray:
+    """(k, L) active rows + (k,) slot indices -> (n_streams, L) full wire
+    chunk with silence everywhere else (device-side scatter; traced into
+    the engines' fused step_active programs so the whole partial-activity
+    step stays one dispatch)."""
+    full = jnp.full((n_streams, rows.shape[-1]), wire_silence(rows.dtype),
+                    rows.dtype)
+    return full.at[idx].set(rows)
+
+
+def _validate_active(rows: "np.ndarray", idx: "np.ndarray",
+                     n_streams: int, chunk_len: "int | None") -> None:
+    if idx.ndim != 1 or rows.ndim != 2 or rows.shape[0] != idx.shape[0]:
+        raise ValueError(
+            f"step_active needs rows (k, chunk_len) + idx (k,); got "
+            f"rows {rows.shape}, idx {idx.shape}"
+        )
+    if chunk_len is not None and rows.shape[1] != chunk_len:
+        raise ValueError(
+            f"active rows are {rows.shape[1]} samples; this engine steps "
+            f"in {chunk_len}-sample chunks"
+        )
+    if idx.size and (idx.min() < 0 or idx.max() >= n_streams):
+        raise ValueError(f"active idx out of range for {n_streams} streams")
+    if len(set(idx.tolist())) != idx.shape[0]:
+        raise ValueError("active idx has duplicate slots")
+
+
 def decode_pcm_device(chunk: jnp.ndarray) -> jnp.ndarray:
     """On-device ingest decode shared by both engines' jitted steps.
 
@@ -323,6 +367,43 @@ class StreamingKWS:
             return buffer, compact_output_device(logits)
 
         self._step_compact = _step_compact
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _step_active(p, buffer, rows, idx, w, b, mean, scale):
+            # Partial-activity ingest: scatter the k active rows into a
+            # silence-filled full chunk ON DEVICE (wire_silence per
+            # format), then the normal step body — one fused dispatch,
+            # H2D carries only the active rows.
+            chunk = decode_pcm_device(
+                expand_active_rows(rows, idx, n_streams)
+            )
+            n = chunk.shape[-1]
+            buffer = jnp.concatenate([buffer[:, n:], chunk], axis=-1)
+            return buffer, _eval_inner(p, buffer, w, b, mean, scale)
+
+        self._step_active = _step_active
+
+    def step_active(self, rows, active_idx) -> np.ndarray:
+        """step() with only the ACTIVE streams' audio on the wire: `rows`
+        is (k, chunk_len) in any ingest wire format, `active_idx` the k
+        stream slots it belongs to. Silent streams advance on
+        device-synthesized wire silence, so the logits are BIT-equal to
+        step() on the full chunk with silence in the inactive rows — at
+        k/n_streams of the H2D bytes, the first-order serving wall. For
+        an always-on fleet at activity factor f the ingest wire shrinks
+        1/f with zero semantic change (silence is what those producers
+        would have sent). Multi-host: SPMD — every process passes the
+        same global rows/idx."""
+        rows = np.asarray(rows)
+        idx = np.asarray(active_idx, np.int64)
+        _validate_active(rows, idx, self.n_streams, None)
+        self.buffer, out = self._step_active(
+            self.params, self.buffer, jnp.asarray(rows),
+            jnp.asarray(idx, jnp.int32),
+            self.readout.w, self.readout.b,
+            self.scaler_state.mean, self.scaler_state.scale,
+        )
+        return materialize_stream_output(out, self.mesh)
 
     def _place_chunk(self, chunk: np.ndarray) -> jax.Array:
         """Host chunk -> device, stream-sharded on a mesh; multi-host each

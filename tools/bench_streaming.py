@@ -57,6 +57,14 @@ def main() -> None:
                         help="Pre-place chunks on device: excludes the "
                              "per-step H2D, which dominates through the "
                              "relay at high stream counts.")
+    parser.add_argument("--active-frac", type=float, default=None,
+                        metavar="F",
+                        help="Partial-activity ingest (step_active): "
+                             "send only round(F * streams) active rows "
+                             "per step; silent streams advance on "
+                             "device-synthesized wire silence. Logits "
+                             "bit-equal to the full wire with silent "
+                             "rows (tests/test_step_active.py).")
     parser.add_argument("--pipelined", type=int, nargs="?", const=2,
                         default=None, metavar="DEPTH",
                         help="Serve host chunks through the pipelined "
@@ -175,6 +183,18 @@ def main() -> None:
                 times.append(time.perf_counter() - t0)
             best, med = min(times), sorted(times)[len(times) // 2]
             tag = " [compact]"
+        elif args.active_frac is not None:
+            k = max(1, round(args.active_frac * ns))
+            idx = np.linspace(0, ns - 1, k).astype(np.int64)
+            rows = np.ascontiguousarray(chunk[idx])
+            kws.step_active(rows, idx)       # compile + warmup
+            times = []
+            for _ in range(args.steps):
+                t0 = time.perf_counter()
+                kws.step_active(rows, idx).argmax(-1)
+                times.append(time.perf_counter() - t0)
+            best, med = min(times), sorted(times)[len(times) // 2]
+            tag = f" [active {k}/{ns}]"
         else:
             times = []
             for _ in range(args.steps):
