@@ -348,6 +348,25 @@ def main() -> None:
             )
             log(f"streaming_continuous ulaw host-ingest: median "
                 f"{med * 1e3:.1f} ms/step -> {ns / med:,.0f} chunks/s")
+
+            # Partial-activity ingest at a realistic fleet factor (25%):
+            # only active rows cross H2D, silence synthesized on device;
+            # bit-equal to the full wire (tests/test_step_active.py).
+            k = ns // 4
+            idx = np.arange(0, ns, 4)[:k]
+            rows = np.ascontiguousarray(wire[idx])
+            kws_u.step_active(rows, idx)        # compile + warmup
+            ts = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                kws_u.step_active(rows, idx)
+                ts.append(time.perf_counter() - t0)
+            med = sorted(ts)[len(ts) // 2]
+            streaming_extra["streaming_continuous_active25_chunks_per_sec"] = (
+                round(ns / med, 1)
+            )
+            log(f"streaming_continuous 25%-active ulaw ingest: median "
+                f"{med * 1e3:.1f} ms/step -> {ns / med:,.0f} chunks/s")
     except Exception as exc:  # pragma: no cover
         log(f"streaming bench skipped: {exc}")
 
