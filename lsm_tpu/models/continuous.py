@@ -650,11 +650,15 @@ class ContinuousKWS:
         from lsm_tpu.models.streaming import expand_active_rows
 
         _step_full = _step_local if mesh is None else _mesh_step
+        _step_full_c = (
+            _step_local_compact if mesh is None else _mesh_step_compact
+        )
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def _step_active(p, st, rows, idx, w, b, mean, scale):
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(8,))
+        def _step_active(p, st, rows, idx, w, b, mean, scale, compact):
             chunk = expand_active_rows(rows, idx, n_streams)
-            return _step_full(p, st, chunk, w, b, mean, scale)
+            fn = _step_full_c if compact else _step_full
+            return fn(p, st, chunk, w, b, mean, scale)
 
         self._step_active = _step_active
 
@@ -853,7 +857,7 @@ class ContinuousKWS:
     def predict(self, chunk: np.ndarray) -> np.ndarray:
         return np.argmax(self.step(chunk), axis=-1)
 
-    def step_active(self, rows, active_idx) -> np.ndarray:
+    def step_active(self, rows, active_idx, compact: bool = False):
         """step() with only the ACTIVE streams' audio on the wire: `rows`
         is (k, chunk_len) in any ingest wire format, `active_idx` the k
         stream slots it belongs to. Silent streams advance on
@@ -863,9 +867,14 @@ class ContinuousKWS:
         k/n_streams of the H2D bytes (the first-order serving wall). For
         an always-on fleet at activity factor f the ingest wire shrinks
         1/f with zero semantic change. Multi-host: SPMD — every process
-        passes the same global rows/idx."""
+        passes the same global rows/idx.
+
+        compact=True also packs the decision egress (see step_compact):
+        returns (preds int32 (B,), margin f32 (B,)) at 4 bytes/stream
+        D2H — both wire directions shrink."""
         from lsm_tpu.models.streaming import (
             _validate_active, materialize_stream_output,
+            unpack_compact_output,
         )
 
         rows = np.asarray(rows)
@@ -876,8 +885,10 @@ class ContinuousKWS:
             jnp.asarray(idx, jnp.int32),
             self.readout.w, self.readout.b,
             self.scaler_state.mean, self.scaler_state.scale,
+            compact,
         )
-        return materialize_stream_output(out, self.mesh)
+        out = materialize_stream_output(out, self.mesh)
+        return unpack_compact_output(out) if compact else out
 
     def step_compact(self, chunk):
         """step() with the compact decision output: (preds int32 (B,),

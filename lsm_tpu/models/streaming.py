@@ -368,22 +368,25 @@ class StreamingKWS:
 
         self._step_compact = _step_compact
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def _step_active(p, buffer, rows, idx, w, b, mean, scale):
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(8,))
+        def _step_active(p, buffer, rows, idx, w, b, mean, scale, compact):
             # Partial-activity ingest: scatter the k active rows into a
             # silence-filled full chunk ON DEVICE (wire_silence per
             # format), then the normal step body — one fused dispatch,
-            # H2D carries only the active rows.
+            # H2D carries only the active rows. compact=True also packs
+            # the decision egress (compact_output_device) so BOTH wire
+            # directions shrink.
             chunk = decode_pcm_device(
                 expand_active_rows(rows, idx, n_streams)
             )
             n = chunk.shape[-1]
             buffer = jnp.concatenate([buffer[:, n:], chunk], axis=-1)
-            return buffer, _eval_inner(p, buffer, w, b, mean, scale)
+            out = _eval_inner(p, buffer, w, b, mean, scale)
+            return buffer, (compact_output_device(out) if compact else out)
 
         self._step_active = _step_active
 
-    def step_active(self, rows, active_idx) -> np.ndarray:
+    def step_active(self, rows, active_idx, compact: bool = False):
         """step() with only the ACTIVE streams' audio on the wire: `rows`
         is (k, chunk_len) in any ingest wire format, `active_idx` the k
         stream slots it belongs to. Silent streams advance on
@@ -393,7 +396,11 @@ class StreamingKWS:
         an always-on fleet at activity factor f the ingest wire shrinks
         1/f with zero semantic change (silence is what those producers
         would have sent). Multi-host: SPMD — every process passes the
-        same global rows/idx."""
+        same global rows/idx.
+
+        compact=True also packs the decision egress (see step_compact):
+        returns (preds int32 (B,), margin f32 (B,)) at 4 bytes/stream
+        D2H — both wire directions shrink."""
         rows = np.asarray(rows)
         idx = np.asarray(active_idx, np.int64)
         _validate_active(rows, idx, self.n_streams, None)
@@ -402,8 +409,10 @@ class StreamingKWS:
             jnp.asarray(idx, jnp.int32),
             self.readout.w, self.readout.b,
             self.scaler_state.mean, self.scaler_state.scale,
+            compact,
         )
-        return materialize_stream_output(out, self.mesh)
+        out = materialize_stream_output(out, self.mesh)
+        return unpack_compact_output(out) if compact else out
 
     def _place_chunk(self, chunk: np.ndarray) -> jax.Array:
         """Host chunk -> device, stream-sharded on a mesh; multi-host each

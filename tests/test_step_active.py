@@ -108,3 +108,26 @@ def test_step_active_validation(setup):
                          chunk_len=1600)
     with pytest.raises(ValueError, match="1600-sample"):
         cont.step_active(np.zeros((1, 800), np.float32), [0])
+
+
+@pytest.mark.parametrize("engine", ["exact", "continuous"])
+def test_step_active_compact(setup, engine, rng):
+    """compact=True packs the decision egress: preds bit-equal to argmax
+    of the full-logits step_active, margins finite and non-negative."""
+    params, readout, st, fcfg = setup
+    n, L = 4, 1600
+    mk = (
+        (lambda: StreamingKWS(params, readout, st, fcfg, "original", n))
+        if engine == "exact"
+        else (lambda: ContinuousKWS(params, readout, st, fcfg, "original",
+                                    n, chunk_len=L))
+    )
+    active = np.array([0, 2])
+    a, b = mk(), mk()
+    for _ in range(3):
+        rows = (rng.standard_normal((2, L)) * 0.2).astype(np.float32)
+        logits = a.step_active(rows, active)
+        preds, margins = b.step_active(rows, active, compact=True)
+        np.testing.assert_array_equal(preds, np.argmax(logits, axis=-1))
+        assert margins.shape == (n,)
+        assert np.isfinite(margins).all() and (margins >= 0).all()
