@@ -871,18 +871,22 @@ class ContinuousKWS:
 
         compact=True also packs the decision egress (see step_compact):
         returns (preds int32 (B,), margin f32 (B,)) at 4 bytes/stream
-        D2H — both wire directions shrink."""
+        D2H — both wire directions shrink.
+
+        The active count buckets to the next power of two internally
+        (streaming.prepare_active_rows), so fluctuating fleet activity
+        compiles at most log2(n_streams) programs per wire format."""
         from lsm_tpu.models.streaming import (
-            _validate_active, materialize_stream_output,
+            materialize_stream_output, prepare_active_rows,
             unpack_compact_output,
         )
 
-        rows = np.asarray(rows)
-        idx = np.asarray(active_idx, np.int64)
-        _validate_active(rows, idx, self.n_streams, self.chunk_len)
+        rows_d, idx_d = prepare_active_rows(
+            rows, active_idx, self.n_streams, chunk_len=self.chunk_len,
+            mesh=self.mesh,
+        )
         self.state, out = self._step_active(
-            self.params, self.state, jnp.asarray(rows),
-            jnp.asarray(idx, jnp.int32),
+            self.params, self.state, rows_d, idx_d,
             self.readout.w, self.readout.b,
             self.scaler_state.mean, self.scaler_state.scale,
             compact,

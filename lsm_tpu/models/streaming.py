@@ -162,7 +162,8 @@ def expand_active_rows(rows: jnp.ndarray, idx: jnp.ndarray,
 
 
 def _validate_active(rows: "np.ndarray", idx: "np.ndarray",
-                     n_streams: int, chunk_len: "int | None") -> None:
+                     n_streams: int, chunk_len: "int | None",
+                     max_len: "int | None" = None) -> None:
     if idx.ndim != 1 or rows.ndim != 2 or rows.shape[0] != idx.shape[0]:
         raise ValueError(
             f"step_active needs rows (k, chunk_len) + idx (k,); got "
@@ -173,10 +174,58 @@ def _validate_active(rows: "np.ndarray", idx: "np.ndarray",
             f"active rows are {rows.shape[1]} samples; this engine steps "
             f"in {chunk_len}-sample chunks"
         )
+    if max_len is not None and not (0 < rows.shape[1] <= max_len):
+        # Same guard step()'s normalize path enforces: an over-window
+        # chunk would silently GROW the ring buffer (buffer[:, L:] is
+        # empty) and change the engine's window length forever after.
+        raise ValueError(
+            f"active rows are {rows.shape[1]} samples; chunks must be "
+            f"1..{max_len} (the analysis window)"
+        )
     if idx.size and (idx.min() < 0 or idx.max() >= n_streams):
         raise ValueError(f"active idx out of range for {n_streams} streams")
     if len(set(idx.tolist())) != idx.shape[0]:
         raise ValueError("active idx has duplicate slots")
+
+
+def prepare_active_rows(rows, idx, n_streams: int,
+                        chunk_len: "int | None" = None,
+                        max_len: "int | None" = None,
+                        mesh=None):
+    """Host-side front half of step_active, shared by both engines:
+    validate, BUCKET k to the next power of two (padding with
+    wire-silence rows scattered into currently-inactive slots — bit-equal
+    by the feature's own construction, since explicit silence == the
+    silence the device would synthesize), and place on device. Bucketing
+    caps the jit cache at log2(n_streams) programs per wire format — a
+    fleet whose active count fluctuates every step would otherwise
+    retrace/recompile for every distinct k (minutes per new k through
+    the remote compile service). Multi-host: replicated placement via
+    shard_host_array (plain device_put cannot reach non-addressable
+    devices)."""
+    rows = np.asarray(rows)
+    idx = np.asarray(idx, np.int64)
+    _validate_active(rows, idx, n_streams, chunk_len, max_len)
+    k = idx.shape[0]
+    bucket = 1
+    while bucket < max(k, 1):
+        bucket <<= 1
+    bucket = min(bucket, n_streams)
+    if bucket > k:
+        free = np.setdiff1d(np.arange(n_streams), idx)[: bucket - k]
+        rows = np.concatenate(
+            [rows, np.full((bucket - k, rows.shape[1]),
+                           wire_silence(rows.dtype), rows.dtype)], axis=0
+        )
+        idx = np.concatenate([idx, free])
+    idx32 = idx.astype(np.int32)
+    if mesh is not None and jax.process_count() > 1:
+        from lsm_tpu.parallel.mesh import shard_host_array
+        from jax.sharding import PartitionSpec
+
+        return (shard_host_array(rows, mesh, PartitionSpec()),
+                shard_host_array(idx32, mesh, PartitionSpec()))
+    return jnp.asarray(rows), jnp.asarray(idx32)
 
 
 def decode_pcm_device(chunk: jnp.ndarray) -> jnp.ndarray:
@@ -346,25 +395,28 @@ class StreamingKWS:
 
         self._evaluate = jax.jit(_eval_inner)
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def _step(p, buffer, chunk, w, b, mean, scale):
+        def _step_body(p, buffer, chunk, w, b, mean, scale, compact):
+            # THE step semantics — the single definition all three jitted
+            # entry points (_step, _step_compact, _step_active) trace, so
+            # their bit-equality contracts cannot drift apart.
             # Compressed-wire ingest (int16 linear / uint8 mu-law)
             # converts on device — the H2D transfer moves 2x/4x fewer
             # bytes than f32 and the serving wall is ingest-bound.
             chunk = decode_pcm_device(chunk)
             n = chunk.shape[-1]
             buffer = jnp.concatenate([buffer[:, n:], chunk], axis=-1)
-            return buffer, _eval_inner(p, buffer, w, b, mean, scale)
+            out = _eval_inner(p, buffer, w, b, mean, scale)
+            return buffer, (compact_output_device(out) if compact else out)
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _step(p, buffer, chunk, w, b, mean, scale):
+            return _step_body(p, buffer, chunk, w, b, mean, scale, False)
 
         self._step = _step
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _step_compact(p, buffer, chunk, w, b, mean, scale):
-            chunk = decode_pcm_device(chunk)
-            n = chunk.shape[-1]
-            buffer = jnp.concatenate([buffer[:, n:], chunk], axis=-1)
-            logits = _eval_inner(p, buffer, w, b, mean, scale)
-            return buffer, compact_output_device(logits)
+            return _step_body(p, buffer, chunk, w, b, mean, scale, True)
 
         self._step_compact = _step_compact
 
@@ -372,17 +424,10 @@ class StreamingKWS:
         def _step_active(p, buffer, rows, idx, w, b, mean, scale, compact):
             # Partial-activity ingest: scatter the k active rows into a
             # silence-filled full chunk ON DEVICE (wire_silence per
-            # format), then the normal step body — one fused dispatch,
-            # H2D carries only the active rows. compact=True also packs
-            # the decision egress (compact_output_device) so BOTH wire
-            # directions shrink.
-            chunk = decode_pcm_device(
-                expand_active_rows(rows, idx, n_streams)
-            )
-            n = chunk.shape[-1]
-            buffer = jnp.concatenate([buffer[:, n:], chunk], axis=-1)
-            out = _eval_inner(p, buffer, w, b, mean, scale)
-            return buffer, (compact_output_device(out) if compact else out)
+            # format), then the shared step body — one fused dispatch,
+            # H2D carries only the active rows.
+            chunk = expand_active_rows(rows, idx, n_streams)
+            return _step_body(p, buffer, chunk, w, b, mean, scale, compact)
 
         self._step_active = _step_active
 
@@ -400,13 +445,17 @@ class StreamingKWS:
 
         compact=True also packs the decision egress (see step_compact):
         returns (preds int32 (B,), margin f32 (B,)) at 4 bytes/stream
-        D2H — both wire directions shrink."""
-        rows = np.asarray(rows)
-        idx = np.asarray(active_idx, np.int64)
-        _validate_active(rows, idx, self.n_streams, None)
+        D2H — both wire directions shrink.
+
+        The active count buckets to the next power of two internally
+        (prepare_active_rows), so fluctuating fleet activity compiles at
+        most log2(n_streams) programs per wire format."""
+        rows_d, idx_d = prepare_active_rows(
+            rows, active_idx, self.n_streams,
+            max_len=self.fcfg.num_samples, mesh=self.mesh,
+        )
         self.buffer, out = self._step_active(
-            self.params, self.buffer, jnp.asarray(rows),
-            jnp.asarray(idx, jnp.int32),
+            self.params, self.buffer, rows_d, idx_d,
             self.readout.w, self.readout.b,
             self.scaler_state.mean, self.scaler_state.scale,
             compact,

@@ -110,6 +110,12 @@ def main() -> None:
                              "the continuous-mode demo pre-roll: restored "
                              "streams are already warm.")
     args = parser.parse_args()
+    if args.save_state_every and not args.save_state:
+        # Pure-argparse check: fail before the bundle load / engine
+        # compile / pre-roll (minutes through the remote compile service).
+        print("Error: --save-state-every needs --save-state <path>.",
+              file=sys.stderr)
+        sys.exit(1)
     setup_logging()
 
     try:
@@ -267,6 +273,7 @@ def main() -> None:
                                compress=compress)
 
     preds = margins = logits = None
+    last_ckpt_chunk = -1
     for c in range(n_chunks):
         wire_chunk = _to_wire(
             audio[:, c * chunk_len:(c + 1) * chunk_len], args.wire
@@ -283,13 +290,25 @@ def main() -> None:
                   f"{' ...' if n_real > 8 else ''}")
         if args.save_state_every and (c + 1) % args.save_state_every == 0:
             _checkpoint()
+            last_ckpt_chunk = c
 
     if args.save_state:
         import jax
 
-        _checkpoint()
+        # State is unchanged since a periodic checkpoint on the very
+        # last chunk — skip the duplicate full-state D2H + write.
+        if last_ckpt_chunk != n_chunks - 1:
+            _checkpoint()
         if jax.process_index() == 0:
             print(f"Stream state snapshot -> '{args.save_state}'")
+
+    import jax
+
+    if jax.process_index() != 0:
+        # Multi-host: every process holds the full predictions
+        # (materialize_stream_output all-gathers); one writer for the
+        # output file and the report, same as the state checkpoints.
+        return
 
     # Labels from class-named parent directories, where they match.
     class_idx = {c: i for i, c in enumerate(names)}

@@ -75,23 +75,61 @@ def test_step_active_bit_equal(setup, engine, dtype, rng):
         )
 
 
-def test_step_active_mesh_matches_single(setup, rng):
+@pytest.mark.parametrize("engine", ["exact", "continuous"])
+def test_step_active_mesh_matches_single(setup, engine, rng):
     from lsm_tpu.parallel.mesh import make_mesh
 
     params, readout, st, fcfg = setup
     mesh = make_mesh(n_data=4, n_model=1)
     n, L = 8, 1600
     active = np.array([0, 5, 6])
-    ref = ContinuousKWS(params, readout, st, fcfg, "original", n,
-                        chunk_len=L)
-    kws = ContinuousKWS(params, readout, st, fcfg, "original", n,
-                        chunk_len=L, mesh=mesh)
+
+    def mk(m):
+        if engine == "exact":
+            return StreamingKWS(params, readout, st, fcfg, "original", n,
+                                mesh=m)
+        return ContinuousKWS(params, readout, st, fcfg, "original", n,
+                             chunk_len=L, mesh=m)
+
+    ref, kws = mk(None), mk(mesh)
     for _ in range(3):
         rows = (rng.standard_normal((3, L)) * 0.2).astype(np.float32)
         np.testing.assert_allclose(
             kws.step_active(rows, active), ref.step_active(rows, active),
             rtol=1e-5, atol=1e-6,
         )
+
+
+def test_step_active_varying_k_bit_equal(setup, rng):
+    """The power-of-two k bucketing (compile-cache bound for fluctuating
+    fleet activity) must not change results: a run with a DIFFERENT
+    active count each step equals per-step full-wire steps."""
+    params, readout, st, fcfg = setup
+    n, L = 6, 1600
+    mk = lambda: ContinuousKWS(params, readout, st, fcfg, "original", n,
+                               chunk_len=L)
+    ref, kws = mk(), mk()
+    sil = wire_silence(np.float32)
+    for step, k in enumerate([1, 3, 6, 2, 5]):
+        idx = np.asarray(sorted(rng.permutation(n)[:k]))
+        rows = (rng.standard_normal((k, L)) * 0.2).astype(np.float32)
+        full = np.full((n, L), sil, np.float32)
+        full[idx] = rows
+        np.testing.assert_array_equal(
+            kws.step_active(rows, idx), ref.step(full),
+            err_msg=f"k={k} diverged at step {step}",
+        )
+
+
+def test_step_active_rejects_overlong_rows(setup):
+    """Over-window rows must be rejected: they would silently GROW the
+    exact engine's ring buffer (and change its window length forever)."""
+    params, readout, st, fcfg = setup
+    kws = StreamingKWS(params, readout, st, fcfg, "original", 2)
+    too_long = np.zeros((2, fcfg.num_samples + 800), np.float32)
+    with pytest.raises(ValueError, match="analysis window"):
+        kws.step_active(too_long, [0, 1])
+    assert kws.buffer.shape == (2, fcfg.num_samples)
 
 
 def test_step_active_validation(setup):

@@ -72,6 +72,11 @@ def main() -> None:
                              "of chunk k+1 and dispatch overlap step k's "
                              "compute. Logits bit-equal to serial step().")
     args = parser.parse_args()
+    if args.active_frac is not None and args.pipelined is not None:
+        raise SystemExit(
+            "--active-frac does not combine with --pipelined (step_active "
+            "is a single fused dispatch; pipeline the caller's loop instead)"
+        )
 
     from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
 
@@ -174,6 +179,20 @@ def main() -> None:
             wall = time.perf_counter() - t0
             med = best = wall / n_steps
             tag = f" [pipelined depth={args.pipelined}]"
+        elif args.active_frac is not None:
+            k = max(1, round(args.active_frac * ns))
+            idx = np.linspace(0, ns - 1, k).astype(np.int64)
+            rows = np.ascontiguousarray(np.asarray(chunk)[idx])
+            cp = args.compact
+            kws.step_active(rows, idx, compact=cp)   # compile + warmup
+            times = []
+            for _ in range(args.steps):
+                t0 = time.perf_counter()
+                out = kws.step_active(rows, idx, compact=cp)
+                (out[0] if cp else out.argmax(-1))
+                times.append(time.perf_counter() - t0)
+            best, med = min(times), sorted(times)[len(times) // 2]
+            tag = f" [active {k}/{ns}{' compact' if cp else ''}]"
         elif args.compact:
             kws.step_compact(chunk)          # compile + warmup
             times = []
@@ -183,18 +202,6 @@ def main() -> None:
                 times.append(time.perf_counter() - t0)
             best, med = min(times), sorted(times)[len(times) // 2]
             tag = " [compact]"
-        elif args.active_frac is not None:
-            k = max(1, round(args.active_frac * ns))
-            idx = np.linspace(0, ns - 1, k).astype(np.int64)
-            rows = np.ascontiguousarray(chunk[idx])
-            kws.step_active(rows, idx)       # compile + warmup
-            times = []
-            for _ in range(args.steps):
-                t0 = time.perf_counter()
-                kws.step_active(rows, idx).argmax(-1)
-                times.append(time.perf_counter() - t0)
-            best, med = min(times), sorted(times)[len(times) // 2]
-            tag = f" [active {k}/{ns}]"
         else:
             times = []
             for _ in range(args.steps):
