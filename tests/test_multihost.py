@@ -139,6 +139,16 @@ WORKER = textwrap.dedent(
     local_swap = swap_audio[pid * 4:(pid + 1) * 4]
     logits_after_install = kws.step(local_swap[:, :1600])
 
+    # Partial-activity ingest across processes: GLOBAL rows/idx identical
+    # on every process (replicated placement via shard_host_array — plain
+    # device_put cannot reach non-addressable devices). Slots 2 and 6
+    # live on different processes' shards.
+    act_idx = np.array([2, 6])
+    act_rows = (
+        np.random.default_rng(13).standard_normal((2, 1600)) * 0.2
+    ).astype(np.float32)
+    logits_active = kws.step_active(act_rows, act_idx)
+
     if pid == 0:
         np.savez(
             sys.argv[1],
@@ -151,6 +161,7 @@ WORKER = textwrap.dedent(
             **{"rows_" + k.replace("seg:", "seg__"): v
                for k, v in rows.items()},
             logits_after_install=np.asarray(logits_after_install),
+            logits_active=np.asarray(logits_active),
         )
     print(f"worker {pid} done", flush=True)
     """
@@ -292,4 +303,14 @@ def test_two_process_dp_matches_single_process(tmp_path):
     np.testing.assert_allclose(
         got["logits_after_install"], ref_after, rtol=1e-4, atol=1e-4,
         err_msg="post-install logits diverged across processes",
+    )
+
+    # Partial-activity ingest across processes (replicated rows/idx).
+    act_rows = (
+        np.random.default_rng(13).standard_normal((2, 1600)) * 0.2
+    ).astype(np.float32)
+    ref_active = kws_ref.step_active(act_rows, np.array([2, 6]))
+    np.testing.assert_allclose(
+        got["logits_active"], ref_active, rtol=1e-4, atol=1e-4,
+        err_msg="step_active diverged across processes",
     )
