@@ -1,0 +1,139 @@
+"""Stream-slot pool: the session-management layer for always-on serving.
+
+The engines (StreamingKWS / ContinuousKWS) are fixed-width SPMD programs
+over `n_streams` slots; a deployment's sessions come and go. This module
+is the thin, fully-tested composition of the primitives the engines
+already expose — per-slot recycling (`reset(stream_idx)`),
+partial-activity stepping (`step_active`: only connected sessions' audio
+crosses H2D), and row-level drain (`serving_state.migrate_streams`) —
+into the admit/step/finish lifecycle a server actually runs. No new
+device semantics: every path is bit-equal to driving the engine
+directly, which is what the tests pin.
+
+Reference has no serving at all (SURVEY.md §0); capacity metrics cite
+docs/VALIDATION.md "Partial-activity ingest" (3-4x the full wire at
+fleet activity factors).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Hashable, Optional, Sequence
+
+import numpy as np
+
+
+class PoolFullError(RuntimeError):
+    """No free slots: scale out (another engine/host) or finish sessions."""
+
+
+class StreamPool:
+    """Maps session ids onto engine stream slots.
+
+    - `admit(session_id)` claims a free slot (freshly reset: the engine's
+      cold-start state, exactly what a new stream must see).
+    - `step(audio_by_session)` advances ALL slots one chunk: connected
+      sessions' rows ride the wire (any ingest format), every other slot
+      — free or connected-but-silent this hop — advances on
+      device-synthesized wire silence. Returns per-session (pred, margin)
+      from the compact egress.
+    - `finish(session_id)` recycles the slot (masked reset; other slots
+      untouched).
+    - `drain(session_ids, dst_pool)` migrates live sessions to another
+      pool's engine bit-exactly (host rebalancing / rolling restarts),
+      then recycles the local slots.
+
+    SPMD note: on a multi-host mesh every process must make the SAME
+    calls with the same arguments (the underlying reset/step_active/
+    migrate are collectives) — same contract as the engines themselves.
+    """
+
+    def __init__(self, kws):
+        self.kws = kws
+        self._free = list(range(kws.n_streams - 1, -1, -1))  # pop -> slot 0 first
+        self._slot_of: Dict[Hashable, int] = {}
+
+    @property
+    def capacity(self) -> int:
+        return self.kws.n_streams
+
+    @property
+    def n_active(self) -> int:
+        return len(self._slot_of)
+
+    def slot_of(self, session_id: Hashable) -> int:
+        return self._slot_of[session_id]
+
+    def admit(self, session_id: Hashable) -> int:
+        if session_id in self._slot_of:
+            raise ValueError(f"session {session_id!r} is already admitted")
+        if not self._free:
+            raise PoolFullError(
+                f"all {self.capacity} slots are serving sessions"
+            )
+        slot = self._free.pop()
+        # A new session must start from the engine's cold state, whatever
+        # the slot's previous tenant left behind.
+        self.kws.reset(slot)
+        self._slot_of[session_id] = slot
+        return slot
+
+    def finish(self, session_id: Hashable) -> None:
+        slot = self._slot_of.pop(session_id)
+        self.kws.reset(slot)
+        self._free.append(slot)
+
+    def step(self, audio_by_session: Dict[Hashable, np.ndarray]):
+        """Advance every slot one chunk; only `audio_by_session`'s rows
+        cross H2D. Sessions absent from the dict (and free slots) advance
+        on wire silence. Returns {session_id: (pred int, margin float)}
+        for the CONNECTED sessions (all of them, not just the fed ones —
+        a silent session still emits a decision each hop).
+
+        All rows must share one dtype (one wire format per hop — mixed
+        producers should transcode before the pool)."""
+        unknown = [s for s in audio_by_session if s not in self._slot_of]
+        if unknown:
+            raise KeyError(f"sessions not admitted: {unknown[:4]}")
+        sessions = sorted(self._slot_of, key=lambda s: self._slot_of[s])
+        if audio_by_session:
+            fed = sorted(audio_by_session, key=lambda s: self._slot_of[s])
+            idx = np.asarray([self._slot_of[s] for s in fed], np.int64)
+            rows = np.stack([np.asarray(audio_by_session[s]) for s in fed])
+        else:
+            # Nothing connected spoke this hop: free/silent slots still
+            # advance (state decay is part of the engines' contract).
+            chunk_len = getattr(self.kws, "chunk_len", None)
+            if chunk_len is None:  # exact engine: any length 1..window
+                chunk_len = self.kws.fcfg.num_samples // 10
+            rows = np.zeros((0, chunk_len), np.float32)
+            idx = np.zeros((0,), np.int64)
+        preds, margins = self.kws.step_active(rows, idx, compact=True)
+        return {
+            s: (int(preds[self._slot_of[s]]),
+                float(margins[self._slot_of[s]]))
+            for s in sessions
+        }
+
+    def drain(self, session_ids: Sequence[Hashable],
+              dst_pool: "StreamPool") -> None:
+        """Move live sessions to `dst_pool` BIT-exactly (row-level
+        migration; destination slots come from dst_pool.admit) and
+        recycle the local slots. On failure nothing has moved — admit
+        raises before any state transfer."""
+        from lsm_tpu.io.serving_state import migrate_streams
+
+        session_ids = list(session_ids)
+        src_idx = [self._slot_of[s] for s in session_ids]  # KeyError early
+        dst_idx = []
+        admitted = []
+        try:
+            for s in session_ids:
+                dst_idx.append(dst_pool.admit(s))
+                admitted.append(s)
+        except PoolFullError:
+            for s in admitted:
+                dst_pool.finish(s)
+            raise
+        migrate_streams(self.kws, dst_pool.kws, src_idx, dst_idx)
+        for s in session_ids:
+            self.finish(s)

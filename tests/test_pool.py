@@ -1,0 +1,154 @@
+"""StreamPool session manager (models/pool.py): the admit/step/finish/
+drain lifecycle must be bit-equal to driving the engine directly —
+no new device semantics, just the composition."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lsm_tpu.config import FrontendConfig, ReservoirConfig
+from lsm_tpu.models import reservoir as res
+from lsm_tpu.models.continuous import ContinuousKWS
+from lsm_tpu.models.pool import PoolFullError, StreamPool
+from lsm_tpu.models.streaming import wire_silence
+from lsm_tpu.readout import logistic, scaler
+
+L = 1600
+
+
+@pytest.fixture(scope="module")
+def setup():
+    fcfg = FrontendConfig(n_filters=16, filterbank="gammatone")
+    rcfg = ReservoirConfig(
+        num_neurons=128, num_output_neurons=64, small_world_k=16,
+        mean_weight=0.03,
+    )
+    params = res.init_reservoir(rcfg, n_channels=16)
+    d = 5 * 64
+    rng = np.random.default_rng(0)
+    readout = logistic.LogisticParams(
+        w=jnp.asarray(rng.normal(0, 0.1, (d, 4)).astype(np.float32)),
+        b=jnp.zeros((4,), jnp.float32),
+    )
+    st = scaler.ScalerState(
+        mean=jnp.zeros((d,), jnp.float32), scale=jnp.ones((d,), jnp.float32)
+    )
+    return params, readout, st, fcfg
+
+
+def _mk(setup, n=4):
+    params, readout, st, fcfg = setup
+    return ContinuousKWS(params, readout, st, fcfg, "original", n,
+                         chunk_len=L)
+
+
+def test_pool_lifecycle_bit_equal_to_direct_engine(setup, rng):
+    """Two sessions in a 4-slot pool, one silent hop, one finish+readmit:
+    every decision equals argmax of a directly-driven engine fed full
+    chunks with silence in the unconnected rows."""
+    pool = StreamPool(_mk(setup))
+    ref = _mk(setup)
+
+    a_slot = pool.admit("a")
+    b_slot = pool.admit("b")
+    assert {a_slot, b_slot} == {0, 1}
+    with pytest.raises(ValueError, match="already admitted"):
+        pool.admit("a")
+
+    def ref_step(rows_by_slot):
+        full = np.full((4, L), wire_silence(np.float32), np.float32)
+        for slot, row in rows_by_slot.items():
+            full[slot] = row
+        return np.argmax(ref.step(full), axis=-1)
+
+    audio = (rng.standard_normal((6, L)) * 0.2).astype(np.float32)
+
+    # Hop 1: both speak.
+    out = pool.step({"a": audio[0], "b": audio[1]})
+    want = ref_step({a_slot: audio[0], b_slot: audio[1]})
+    assert out["a"][0] == want[a_slot] and out["b"][0] == want[b_slot]
+
+    # Hop 2: "b" silent (not in the dict) — still gets a decision.
+    out = pool.step({"a": audio[2]})
+    want = ref_step({a_slot: audio[2]})
+    assert out["a"][0] == want[a_slot] and out["b"][0] == want[b_slot]
+    assert set(out) == {"a", "b"}
+
+    # Finish "a"; admit "c" into the recycled slot: the ref engine resets
+    # that slot too (admit == reset + claim).
+    pool.finish("a")
+    c_slot = pool.admit("c")
+    assert c_slot == a_slot
+    ref.reset(c_slot)
+    out = pool.step({"c": audio[3], "b": audio[4]})
+    want = ref_step({c_slot: audio[3], b_slot: audio[4]})
+    assert out["c"][0] == want[c_slot] and out["b"][0] == want[b_slot]
+
+    with pytest.raises(KeyError, match="not admitted"):
+        pool.step({"ghost": audio[5]})
+
+
+def test_pool_all_silent_hop_advances_state(setup, rng):
+    pool = StreamPool(_mk(setup))
+    ref = _mk(setup)
+    pool.admit("a")
+    audio = (rng.standard_normal((1, L)) * 0.2).astype(np.float32)
+
+    silence = np.full((4, L), wire_silence(np.float32), np.float32)
+    out = pool.step({})                      # nobody spoke this hop
+    assert set(out) == {"a"}
+    want = np.argmax(ref.step(silence), axis=-1)
+    assert out["a"][0] == want[0]
+
+    # State advanced identically: next hop still matches.
+    out = pool.step({"a": audio[0]})
+    full = silence.copy()
+    full[0] = audio[0]
+    want = np.argmax(ref.step(full), axis=-1)
+    assert out["a"][0] == want[0]
+
+
+def test_pool_capacity_and_drain(setup, rng):
+    src = StreamPool(_mk(setup, n=2))
+    dst = StreamPool(_mk(setup, n=2))
+    ref = _mk(setup, n=2)
+
+    src.admit("x")
+    src.admit("y")
+    with pytest.raises(PoolFullError):
+        src.admit("z")
+
+    audio = (rng.standard_normal((4, 2, L)) * 0.2).astype(np.float32)
+    for hop in range(2):
+        src.step({"x": audio[hop, 0], "y": audio[hop, 1]})
+        ref.step(audio[hop])
+
+    # Drain rollback: dst too small for both + an existing tenant.
+    dst.admit("tenant")
+    with pytest.raises(PoolFullError):
+        src.drain(["x", "y"], dst)
+    assert src.n_active == 2 and dst.n_active == 1   # nothing moved
+    dst.finish("tenant")
+
+    # Real drain: sessions continue bit-equal to the uninterrupted run
+    # (each session keeps receiving ITS audio, whatever slot it landed in).
+    src.drain(["x", "y"], dst)
+    assert src.n_active == 0 and dst.n_active == 2
+    for hop in range(2, 4):
+        dst.step({"x": audio[hop, 0], "y": audio[hop, 1]})
+        ref.step(audio[hop])
+    # Bit-equality at the logits level on a fresh chunk.
+    extra = (rng.standard_normal((2, L)) * 0.2).astype(np.float32)
+    ref_logits = ref.step(extra)
+    full = np.full((2, L), wire_silence(np.float32), np.float32)
+    full[dst.slot_of("x")] = extra[0]
+    full[dst.slot_of("y")] = extra[1]
+    dst_logits = dst.kws.step(full)
+    np.testing.assert_array_equal(
+        dst_logits[dst.slot_of("x")], ref_logits[0],
+        err_msg="drained session x diverged",
+    )
+    np.testing.assert_array_equal(
+        dst_logits[dst.slot_of("y")], ref_logits[1],
+        err_msg="drained session y diverged",
+    )
