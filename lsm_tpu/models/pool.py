@@ -47,10 +47,17 @@ class StreamPool:
     migrate are collectives) — same contract as the engines themselves.
     """
 
-    def __init__(self, kws):
+    def __init__(self, kws, chunk_len: Optional[int] = None):
+        """`chunk_len`: the deployment's hop size in samples. Defaults to
+        the engine's own chunk_len (continuous mode); REQUIRED for the
+        exact engine if an all-silent hop can ever occur (the pool must
+        know how far to advance time when nobody speaks — guessing a
+        length would misalign every ring buffer against the audio
+        timeline). Inferred from the first fed hop otherwise."""
         self.kws = kws
         self._free = list(range(kws.n_streams - 1, -1, -1))  # pop -> slot 0 first
         self._slot_of: Dict[Hashable, int] = {}
+        self._chunk_len = chunk_len or getattr(kws, "chunk_len", None)
 
     @property
     def capacity(self) -> int:
@@ -63,7 +70,10 @@ class StreamPool:
     def slot_of(self, session_id: Hashable) -> int:
         return self._slot_of[session_id]
 
-    def admit(self, session_id: Hashable) -> int:
+    def _claim(self, session_id: Hashable) -> int:
+        """Bookkeeping half of admit: take a free slot WITHOUT resetting
+        it (drain() overwrites every state leaf via migration, so a reset
+        there would be a wasted collective)."""
         if session_id in self._slot_of:
             raise ValueError(f"session {session_id!r} is already admitted")
         if not self._free:
@@ -71,10 +81,14 @@ class StreamPool:
                 f"all {self.capacity} slots are serving sessions"
             )
         slot = self._free.pop()
-        # A new session must start from the engine's cold state, whatever
-        # the slot's previous tenant left behind.
-        self.kws.reset(slot)
         self._slot_of[session_id] = slot
+        return slot
+
+    def admit(self, session_id: Hashable) -> int:
+        slot = self._claim(session_id)
+        # A new session must start from the engine's cold state, whatever
+        # the slot's previous tenant (or the silence feed) left behind.
+        self.kws.reset(slot)
         return slot
 
     def finish(self, session_id: Hashable) -> None:
@@ -98,14 +112,29 @@ class StreamPool:
         if audio_by_session:
             fed = sorted(audio_by_session, key=lambda s: self._slot_of[s])
             idx = np.asarray([self._slot_of[s] for s in fed], np.int64)
-            rows = np.stack([np.asarray(audio_by_session[s]) for s in fed])
+            arrs = [np.asarray(audio_by_session[s]) for s in fed]
+            dtypes = {a.dtype for a in arrs}
+            if len(dtypes) > 1:
+                # np.stack would silently PROMOTE (int16 rows decoded as
+                # f32 enter the featurizer 32768x too loud) — one wire
+                # format per hop, enforced loudly.
+                raise ValueError(
+                    f"mixed wire dtypes in one hop: {sorted(map(str, dtypes))}"
+                    " — transcode producers to one format per step"
+                )
+            rows = np.stack(arrs)
+            self._chunk_len = rows.shape[1]
         else:
             # Nothing connected spoke this hop: free/silent slots still
-            # advance (state decay is part of the engines' contract).
-            chunk_len = getattr(self.kws, "chunk_len", None)
-            if chunk_len is None:  # exact engine: any length 1..window
-                chunk_len = self.kws.fcfg.num_samples // 10
-            rows = np.zeros((0, chunk_len), np.float32)
+            # advance (state decay is part of the engines' contract) —
+            # by exactly one hop of the deployment's cadence.
+            if self._chunk_len is None:
+                raise ValueError(
+                    "all-silent hop before any fed hop on an exact-mode "
+                    "pool: pass chunk_len to StreamPool so silence "
+                    "advances time by the deployment's real hop size"
+                )
+            rows = np.zeros((0, self._chunk_len), np.float32)
             idx = np.zeros((0,), np.int64)
         preds, margins = self.kws.step_active(rows, idx, compact=True)
         return {
@@ -117,23 +146,32 @@ class StreamPool:
     def drain(self, session_ids: Sequence[Hashable],
               dst_pool: "StreamPool") -> None:
         """Move live sessions to `dst_pool` BIT-exactly (row-level
-        migration; destination slots come from dst_pool.admit) and
-        recycle the local slots. On failure nothing has moved — admit
-        raises before any state transfer."""
+        migration into claimed destination slots — no reset needed, the
+        install overwrites every state leaf) and recycle the local slots
+        with ONE vectorized reset. On ANY failure — capacity, duplicate
+        ids, engine incompatibility — the claims roll back and nothing
+        has moved."""
         from lsm_tpu.io.serving_state import migrate_streams
 
         session_ids = list(session_ids)
+        if len(set(session_ids)) != len(session_ids):
+            raise ValueError("duplicate session ids in drain()")
         src_idx = [self._slot_of[s] for s in session_ids]  # KeyError early
-        dst_idx = []
-        admitted = []
+        claimed = []
         try:
+            dst_idx = []
             for s in session_ids:
-                dst_idx.append(dst_pool.admit(s))
-                admitted.append(s)
-        except PoolFullError:
-            for s in admitted:
-                dst_pool.finish(s)
+                dst_idx.append(dst_pool._claim(s))
+                claimed.append(s)
+            migrate_streams(self.kws, dst_pool.kws, src_idx, dst_idx)
+        except Exception:
+            # Claims are pure bookkeeping (no state was touched): undo
+            # them so a failed drain leaves both pools exactly as before.
+            for s in claimed:
+                dst_pool._free.append(dst_pool._slot_of.pop(s))
             raise
-        migrate_streams(self.kws, dst_pool.kws, src_idx, dst_idx)
+        # Recycle the source slots: one masked reset dispatch, not one
+        # per session (each standalone dispatch costs a relay round-trip).
+        self.kws.reset(np.asarray(src_idx))
         for s in session_ids:
-            self.finish(s)
+            self._free.append(self._slot_of.pop(s))

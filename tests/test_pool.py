@@ -152,3 +152,58 @@ def test_pool_capacity_and_drain(setup, rng):
         dst_logits[dst.slot_of("y")], ref_logits[1],
         err_msg="drained session y diverged",
     )
+
+
+def test_pool_review_guards(setup, rng):
+    """Review fixes: mixed wire dtypes fail loudly; an all-silent hop on
+    an exact-mode pool needs an explicit chunk_len (or a prior fed hop);
+    drain rolls back on ANY failure, including a session already living
+    in the destination."""
+    from lsm_tpu.models.streaming import StreamingKWS
+
+    params, readout, st, fcfg = setup
+
+    pool = StreamPool(_mk(setup))
+    pool.admit("a")
+    pool.admit("b")
+    with pytest.raises(ValueError, match="mixed wire dtypes"):
+        pool.step({
+            "a": np.zeros(L, np.float32),
+            "b": np.zeros(L, np.int16),
+        })
+
+    exact = StreamPool(StreamingKWS(params, readout, st, fcfg,
+                                    "original", 2))
+    exact.admit("a")
+    with pytest.raises(ValueError, match="all-silent hop"):
+        exact.step({})
+    # With an explicit hop size (or after a fed hop) silence advances.
+    exact2 = StreamPool(
+        StreamingKWS(params, readout, st, fcfg, "original", 2),
+        chunk_len=400,
+    )
+    exact2.admit("a")
+    out = exact2.step({})
+    assert set(out) == {"a"}
+    exact.step({"a": np.zeros(400, np.float32)})
+    exact.step({})                               # inferred from the fed hop
+
+    # Drain rollback on ValueError (session already in dst).
+    src = StreamPool(_mk(setup, n=2))
+    dst = StreamPool(_mk(setup, n=4))
+    src.admit("x")
+    src.admit("y")
+    dst.admit("y")
+    with pytest.raises(ValueError, match="already admitted"):
+        src.drain(["x", "y"], dst)
+    assert src.n_active == 2 and dst.n_active == 1   # nothing moved
+    with pytest.raises(ValueError, match="duplicate"):
+        src.drain(["x", "x"], dst)
+    # Incompatible engines also roll back the claims.
+    other = StreamPool(
+        ContinuousKWS(params, readout, st, fcfg, "original", 2,
+                      chunk_len=3200)
+    )
+    with pytest.raises(ValueError, match="chunk length"):
+        src.drain(["x"], other)
+    assert other.n_active == 0 and src.n_active == 2
