@@ -11,8 +11,8 @@ restart without a snapshot costs every connected stream its context.
 This module is the on-disk format: one .npz holding the engine's
 snapshot() leaves plus a JSON identity header. Restore validates the
 header against the live engine — stream count, frontend, feature set,
-chunk geometry, and a weight checksum (readout + reservoir input
-weights, CRC32 over the exact bytes) — so a snapshot can only be
+chunk geometry, and a weight checksum (CRC32 over per-leaf value
+digests; see _leaf_fingerprint) — so a snapshot can only be
 installed into an engine that will continue it BIT-EXACTLY; anything
 else fails loudly. Multi-host: snapshot() all-gathers state so every
 process holds the full value — save on process 0; load takes the same
@@ -40,7 +40,11 @@ import numpy as np
 
 from lsm_tpu.config import frontend_from_dict, frontend_to_dict
 
-_FORMAT = "lsm_tpu.serving_state.v1"
+# v2: weight digest became position-weighted (order-dependent) and
+# representation-independent; identity gained gtgram_two_phase. v1 files
+# would fail the CRC check with a misleading "different model weights" —
+# the format bump turns that into a clear versioned-format error.
+_FORMAT = "lsm_tpu.serving_state.v2"
 
 
 # Above this many elements a leaf is fingerprinted ON DEVICE (exact
@@ -50,24 +54,58 @@ _FORMAT = "lsm_tpu.serving_state.v1"
 _DEVICE_HASH_THRESHOLD = 1 << 20
 
 
+# Knuth's golden-ratio multiplier: position-weights the modular digest so
+# permuted weight matrices do not collide (a plain sum is order-blind).
+_DIGEST_MULT = 0x9E3779B1
+
+
 def _leaf_fingerprint(a) -> bytes:
+    """Digest of a leaf's VALUES — identical whether the leaf lives as a
+    jax.Array or a host np.ndarray (an engine built from host arrays and
+    one built from the same bundle on device must agree, or migration
+    between them falsely reports different weights).
+
+    Large leaves (>= _DEVICE_HASH_THRESHOLD elements) use a
+    position-weighted modular sum over the raw bit patterns: digest =
+    sum_i (i*MULT + 1) * bits_i mod 2^32. Modular integer arithmetic
+    never rounds, so the digest is deterministic across backends and
+    shardings; the position weights make it order-DEPENDENT (two weight
+    matrices that are permutations of each other must not validate as
+    identical). On device this is one fused reduction + an 8-byte D2H
+    (pulling a 400 MB w_rec through the ~15 MB/s relay to CRC it on host
+    would cost ~27 s); on host the same formula runs chunked in NumPy.
+    Small leaves hash their exact bytes either way."""
     import jax
     import jax.numpy as jnp
 
-    arr = np.asarray(a) if not isinstance(a, jax.Array) else a
-    if arr.size >= _DEVICE_HASH_THRESHOLD and isinstance(a, jax.Array):
-        # Exact and order-independent: sum the raw bit patterns in uint32
-        # (modular integer adds never round, so the digest is
-        # deterministic across backends/shardings). Weaker than a CRC
-        # against adversarial collisions, which is not the threat model —
-        # this detects the wrong bundle, not a forged one.
+    if isinstance(a, jax.Array) and a.size >= _DEVICE_HASH_THRESHOLD:
         bits = jax.lax.bitcast_convert_type(
             a.reshape(-1),
             jnp.uint32 if a.dtype.itemsize == 4 else jnp.uint8,
-        )
-        total = jnp.sum(bits.astype(jnp.uint32), dtype=jnp.uint32)
+        ).reshape(-1).astype(jnp.uint32)
+        w = (jnp.arange(bits.size, dtype=jnp.uint32)
+             * jnp.uint32(_DIGEST_MULT) + jnp.uint32(1))
+        total = jnp.sum(bits * w, dtype=jnp.uint32)
         return int(total).to_bytes(8, "little") + str(a.shape).encode()
-    return np.ascontiguousarray(np.asarray(arr)).tobytes()
+    arr = np.asarray(a)
+    if arr.size >= _DEVICE_HASH_THRESHOLD:
+        flat = np.ascontiguousarray(arr).reshape(-1)
+        # Same bit-pattern flattening as the device path: 4-byte dtypes
+        # digest as uint32 words, everything else as little-endian bytes
+        # (= jax bitcast's minor-dim byte order on LE hosts — pinned
+        # against the device path in tests/test_serving_state.py).
+        bits = flat.view(np.uint32) if flat.dtype.itemsize == 4 \
+            else flat.view(np.uint8)
+        total = 0
+        step = 1 << 22
+        for off in range(0, bits.size, step):
+            chunk = bits[off:off + step].astype(np.uint32)
+            w = (np.arange(off, off + chunk.size, dtype=np.uint32)
+                 * np.uint32(_DIGEST_MULT) + np.uint32(1))
+            total = (total + int(np.sum(chunk * w, dtype=np.uint32)))
+        total &= 0xFFFFFFFF
+        return total.to_bytes(8, "little") + str(arr.shape).encode()
+    return np.ascontiguousarray(arr).tobytes()
 
 
 def _weights_crc(kws) -> int:
@@ -106,6 +144,11 @@ def _engine_meta(kws) -> dict:
         geometry = {
             "chunk_len": int(kws.chunk_len),
             "norm_decay_db_per_bin": float(kws.norm_decay_db_per_bin),
+            # The featurizer dispatch is part of the numeric identity: the
+            # two-phase Pallas kernel and the XLA chunk scan agree only to
+            # ~8e-4 (p99), so carried IIR/normalization state produced by
+            # one must not silently continue under the other.
+            "gtgram_two_phase": bool(kws.gtgram_two_phase),
         }
     elif isinstance(kws, StreamingKWS):
         engine = "exact"
@@ -199,6 +242,7 @@ def load_serving_state(path: Path, kws) -> None:
         ("feature_keys", "feature set"),
         ("chunk_len", "chunk length"),
         ("norm_decay_db_per_bin", "normalization decay"),
+        ("gtgram_two_phase", "gammatone dispatch (two-phase kernel)"),
     ):
         if meta.get(key) != want.get(key):
             raise ValueError(
@@ -249,6 +293,7 @@ def migrate_streams(src, dst, src_idx, dst_idx) -> None:
         ("feature_keys", "feature set"),
         ("chunk_len", "chunk length"),
         ("norm_decay_db_per_bin", "normalization decay"),
+        ("gtgram_two_phase", "gammatone dispatch (two-phase kernel)"),
         ("frontend", "frontend configuration"),
         ("weights_crc", "model weights"),
     ):

@@ -295,8 +295,15 @@ class ShardedSpikeDataset:
                 yield cur
             yield fut.result()
 
-    def iter_batches(self, batch_size: int) -> Iterator[SpikeDataset]:
+    def iter_batches(
+        self, batch_size: int, mask: Optional[np.ndarray] = None
+    ) -> Iterator[SpikeDataset]:
         """Re-chunk shards into exact batch_size batches (last may be short).
+
+        `mask` (global row mask, file order) streams only the selected
+        rows, still loading each shard exactly once — how the streaming
+        trainer walks train rows on pass 1 and test rows on pass 2 without
+        paying the reservoir simulation for unselected rows.
 
         O(N) total copies: pending shard arrays are consumed via sliced
         VIEWS with a read offset; each emitted batch is assembled with one
@@ -307,6 +314,7 @@ class ShardedSpikeDataset:
         """
         pending: List[Tuple[np.ndarray, np.ndarray, int]] = []
         n_pending = 0
+        offset = 0
 
         def pop(n: int) -> SpikeDataset:
             nonlocal n_pending
@@ -330,8 +338,15 @@ class ShardedSpikeDataset:
             )
 
         for shard in self.iter_shards():
-            pending.append((shard.x_spikes, shard.y_labels, 0))
-            n_pending += shard.x_spikes.shape[0]
+            x, y = shard.x_spikes, shard.y_labels
+            if mask is not None:
+                m = np.asarray(mask[offset:offset + x.shape[0]])
+                offset += x.shape[0]
+                if not m.any():
+                    continue
+                x, y = x[m], y[m]
+            pending.append((x, y, 0))
+            n_pending += x.shape[0]
             while n_pending >= batch_size:
                 yield pop(batch_size)
         if n_pending:

@@ -203,6 +203,15 @@ class ContinuousKWS:
                 )
             hop = fcfg.num_samples // fcfg.time_bins
             nwin = fcfg.n_fft
+            if hop > nwin:
+                # Mirrors the gammatone nwin < hop guard: with gaps
+                # between STFT frames the carried (n_fft - hop)-sample
+                # audio tail has negative length and no meaning.
+                raise ValueError(
+                    f"mel hop ({hop} samples) must be <= n_fft ({nwin}): "
+                    "with gaps between frames the carried audio tail has "
+                    "no meaning"
+                )
             g = hop
         else:
             hop_time = fcfg.num_samples / (fcfg.sample_rate * fcfg.time_bins)

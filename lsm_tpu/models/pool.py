@@ -47,17 +47,26 @@ class StreamPool:
     migrate are collectives) — same contract as the engines themselves.
     """
 
-    def __init__(self, kws, chunk_len: Optional[int] = None):
+    def __init__(self, kws, chunk_len: Optional[int] = None,
+                 wire_dtype=None):
         """`chunk_len`: the deployment's hop size in samples. Defaults to
         the engine's own chunk_len (continuous mode); REQUIRED for the
         exact engine if an all-silent hop can ever occur (the pool must
         know how far to advance time when nobody speaks — guessing a
         length would misalign every ring buffer against the audio
-        timeline). Inferred from the first fed hop otherwise."""
+        timeline). Inferred from the first fed hop otherwise.
+
+        `wire_dtype`: the deployment's ingest format (float32, int16, or
+        uint8 mu-law). Inferred from the first fed hop; set it explicitly
+        if an all-silent hop can precede the first fed one, so the silent
+        hop traces the SAME step_active program the fed hops will use (a
+        dtype flip mid-serving costs a fresh fused-step compile — minutes
+        through the remote compile service)."""
         self.kws = kws
         self._free = list(range(kws.n_streams - 1, -1, -1))  # pop -> slot 0 first
         self._slot_of: Dict[Hashable, int] = {}
         self._chunk_len = chunk_len or getattr(kws, "chunk_len", None)
+        self._wire_dtype = np.dtype(wire_dtype) if wire_dtype else None
 
     @property
     def capacity(self) -> int:
@@ -124,17 +133,25 @@ class StreamPool:
                 )
             rows = np.stack(arrs)
             self._chunk_len = rows.shape[1]
+            self._wire_dtype = rows.dtype
         else:
             # Nothing connected spoke this hop: free/silent slots still
             # advance (state decay is part of the engines' contract) —
-            # by exactly one hop of the deployment's cadence.
+            # by exactly one hop of the deployment's cadence, in the
+            # deployment's WIRE DTYPE (a float32 guess on a mu-law pool
+            # would trace a fresh fused-step program the first time the
+            # fleet goes quiet — minutes through the remote compiler).
+            # The zero-row array carries no bytes; only its dtype picks
+            # the program, and the engine synthesizes wire_silence(dtype)
+            # on device for every slot.
             if self._chunk_len is None:
                 raise ValueError(
                     "all-silent hop before any fed hop on an exact-mode "
                     "pool: pass chunk_len to StreamPool so silence "
                     "advances time by the deployment's real hop size"
                 )
-            rows = np.zeros((0, self._chunk_len), np.float32)
+            dt = np.float32 if self._wire_dtype is None else self._wire_dtype
+            rows = np.zeros((0, self._chunk_len), dt)
             idx = np.zeros((0,), np.int64)
         preds, margins = self.kws.step_active(rows, idx, compact=True)
         return {

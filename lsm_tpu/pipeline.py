@@ -726,42 +726,10 @@ def _iter_masked_batches(source, mask: np.ndarray, batch_size: int):
     Rows come out in storage order; each shard is loaded once. This is what
     lets the streaming trainer featurize every row exactly once (pass 1
     walks the train rows, pass 2 the test rows) instead of masking mixed
-    batches and paying the reservoir simulation twice."""
-    pending: list = []
-    n_pending = 0
-    offset = 0
-
-    def pop(n: int):
-        nonlocal n_pending
-        parts_x, parts_y = [], []
-        need = n
-        while need:
-            x, y, off = pending[0]
-            take = min(need, x.shape[0] - off)
-            parts_x.append(x[off:off + take])
-            parts_y.append(y[off:off + take])
-            need -= take
-            n_pending -= take
-            if off + take == x.shape[0]:
-                pending.pop(0)
-            else:
-                pending[0] = (x, y, off + take)
-        if len(parts_x) == 1:
-            return parts_x[0], parts_y[0]
-        return np.concatenate(parts_x), np.concatenate(parts_y)
-
-    for shard in source.iter_shards():
-        m = np.asarray(mask[offset:offset + shard.x_spikes.shape[0]])
-        offset += shard.x_spikes.shape[0]
-        if not m.any():
-            continue
-        x = shard.x_spikes[m]
-        pending.append((x, shard.y_labels[m], 0))
-        n_pending += x.shape[0]
-        while n_pending >= batch_size:
-            yield pop(batch_size)
-    if n_pending:
-        yield pop(n_pending)
+    batches and paying the reservoir simulation twice. Thin (x, y) adapter:
+    ShardedSpikeDataset.iter_batches(mask=...) owns the re-chunking."""
+    for b in source.iter_batches(batch_size, mask=mask):
+        yield b.x_spikes, b.y_labels
 
 
 @dataclasses.dataclass
@@ -792,7 +760,7 @@ def extract_and_train_streaming(
     both split feature matrices on host and hands the full matrix to the
     LBFGS fit — ~0.8 GB at the 100k-utterance BASELINE configs[4] scale.
     This path never materializes the corpus anywhere: shards stream from
-    disk (`source` is a ShardedSpikeDataset or anything with iter_shards/
+    disk (`source` is a ShardedSpikeDataset or anything with iter_batches/
     labels/gather_rows), pass 1 folds each train batch's reservoir features
     into O(D^2) device-side ridge statistics
     (readout.streaming_fit.RidgeAccumState), and pass 2 streams the test

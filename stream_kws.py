@@ -249,11 +249,6 @@ def main() -> None:
         for c in range(n_chunks):
             kws.step(_to_wire(preroll[:, c * chunk_len:(c + 1) * chunk_len],
                               args.wire))
-    if args.save_state_every and not args.save_state:
-        print("Error: --save-state-every needs --save-state <path>.",
-              file=sys.stderr)
-        sys.exit(1)
-
     def _checkpoint() -> None:
         import jax
 

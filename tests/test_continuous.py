@@ -306,6 +306,28 @@ def test_continuous_stream_drives_reservoir(rng):
     )
 
 
+def test_continuous_mel_rejects_gapped_frames():
+    """hop > n_fft means gaps between STFT frames: the carried
+    (n_fft - hop)-sample audio tail has negative length and no meaning,
+    so construction must fail loudly (mirrors the gammatone nwin < hop
+    guard) instead of building a nonsense tail buffer."""
+    fcfg = FrontendConfig(n_filters=16, filterbank="mel", time_bins=4)
+    rcfg = ReservoirConfig(
+        num_neurons=128, num_output_neurons=64, small_world_k=16,
+        mean_weight=0.03,
+    )
+    params = res.init_reservoir(rcfg, n_channels=16)
+    d = 5 * 64
+    readout = logistic.LogisticParams(
+        w=jnp.zeros((d, 4), jnp.float32), b=jnp.zeros((4,), jnp.float32)
+    )
+    st = scaler.ScalerState(
+        mean=jnp.zeros((d,), jnp.float32), scale=jnp.ones((d,), jnp.float32)
+    )
+    with pytest.raises(ValueError, match="must be <= n_fft"):
+        ContinuousKWS(params, readout, st, fcfg, "original", 2)
+
+
 def test_continuous_mel_stream_drives_reservoir(rng):
     """The mel frontend (per-hop STFT frames from a carried raw-audio
     tail) drives the reservoir: silence is a fixed point, audio perturbs

@@ -108,6 +108,36 @@ def test_pool_all_silent_hop_advances_state(setup, rng):
     assert out["a"][0] == want[0]
 
 
+def test_pool_silent_hop_honors_wire_dtype(setup, rng):
+    """An all-silent hop on a mu-law pool synthesizes mu-law silence
+    (0xFF), not a float32 guess: decisions stay bit-equal to a directly
+    driven engine fed wire_silence rows in the deployment dtype — both
+    with an explicit wire_dtype (silence can be the FIRST hop) and with
+    one inferred from a fed hop."""
+    from lsm_tpu.ops.ulaw import encode_ulaw_f32
+
+    pool = StreamPool(_mk(setup), wire_dtype=np.uint8)
+    ref = _mk(setup)
+    pool.admit("a")
+    silence = np.full((4, L), wire_silence(np.uint8), np.uint8)
+    out = pool.step({})                  # silent FIRST hop, mu-law wire
+    want = np.argmax(ref.step(silence), axis=-1)
+    assert out["a"][0] == want[0]
+
+    wire = encode_ulaw_f32(
+        (rng.standard_normal(L) * 0.2).astype(np.float32)
+    )
+    out = pool.step({"a": wire})
+    full = silence.copy()
+    full[0] = wire
+    want = np.argmax(ref.step(full), axis=-1)
+    assert out["a"][0] == want[0]
+
+    out = pool.step({})                  # inferred dtype after a fed hop
+    want = np.argmax(ref.step(silence), axis=-1)
+    assert out["a"][0] == want[0]
+
+
 def test_pool_capacity_and_drain(setup, rng):
     src = StreamPool(_mk(setup, n=2))
     dst = StreamPool(_mk(setup, n=2))

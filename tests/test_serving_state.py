@@ -356,6 +356,59 @@ def test_sparse_reservoir_resume_and_weight_crc(tmp_path):
         load_serving_state(path, mk(sp2))
 
 
+def test_leaf_fingerprint_contract():
+    """The weight digest must be (a) representation-independent — an
+    engine built from host np arrays and one built from the same bundle
+    on device must agree, or migration between them falsely reports
+    different weights — (b) order-DEPENDENT (permuted weight matrices
+    must not collide), and (c) value-dependent. Covers both the >=1M-
+    element weighted-modular-sum path (device + chunked-host variants,
+    4-byte and sub-4-byte dtypes) and the small exact-bytes path."""
+    from lsm_tpu.io.serving_state import (
+        _DEVICE_HASH_THRESHOLD, _leaf_fingerprint,
+    )
+
+    rng = np.random.default_rng(0)
+    big = rng.standard_normal(_DEVICE_HASH_THRESHOLD + 3).astype(np.float32)
+    fp = _leaf_fingerprint(big)
+    assert fp == _leaf_fingerprint(jnp.asarray(big))
+    assert _leaf_fingerprint(big[::-1].copy()) != fp  # permutation
+    tweaked = big.copy()
+    tweaked[12345] += np.float32(1.0)
+    assert _leaf_fingerprint(tweaked) != fp
+
+    wire = rng.integers(-3000, 3000, _DEVICE_HASH_THRESHOLD + 1).astype(
+        np.int16
+    )
+    assert _leaf_fingerprint(wire) == _leaf_fingerprint(jnp.asarray(wire))
+    assert _leaf_fingerprint(wire[::-1].copy()) != _leaf_fingerprint(wire)
+
+    small = rng.standard_normal(64).astype(np.float32)
+    assert _leaf_fingerprint(small) == _leaf_fingerprint(jnp.asarray(small))
+    assert _leaf_fingerprint(small[::-1].copy()) != _leaf_fingerprint(small)
+
+
+def test_snapshot_rejects_gtgram_dispatch_mismatch(setup, tmp_path):
+    """The featurizer dispatch (two-phase Pallas kernel vs XLA chunk
+    scan) is part of the numeric identity: they agree only to ~8e-4
+    (p99), so carried IIR/normalization state from one must not continue
+    under the other."""
+    from lsm_tpu.io.serving_state import migrate_streams
+
+    params, readout, st, fcfg = setup
+    src = ContinuousKWS(params, readout, st, fcfg, "original", 2)
+    assert not src.gtgram_two_phase  # CPU tests default to the XLA scan
+    path = tmp_path / "state.npz"
+    save_serving_state(path, src)
+    forced = ContinuousKWS(
+        params, readout, st, fcfg, "original", 2, gtgram_two_phase=True
+    )
+    with pytest.raises(ValueError, match="gammatone dispatch"):
+        load_serving_state(path, forced)
+    with pytest.raises(ValueError, match="gammatone dispatch"):
+        migrate_streams(src, forced, 0, 0)
+
+
 def test_restore_rejects_truncated_file(setup, tmp_path):
     """A server killed mid --save-state leaves a truncated .npz; loading
     it must raise the same ValueError contract, not a zipfile
