@@ -316,13 +316,19 @@ def main() -> None:
             )
             # One dispatch per step: subtract the measured relay floor so
             # sessions compare device rates, not tunnel drift (CLAUDE.md
-            # timing methodology — same as device_only_utt_per_sec).
+            # timing methodology — same as device_only_utt_per_sec). When
+            # the step wall sits AT the floor (sub-0.1 ms residual) the
+            # device time is below the relay's measurement resolution —
+            # report null, not the absurd clamped-denominator rate.
+            dev_t = med - floor
             streaming_extra[f"{name}_device_only_chunks_per_sec_per_chip"] = (
-                round(ns / max(med - floor, 1e-9) / n_chips, 1)
+                round(ns / dev_t / n_chips, 1) if dev_t >= 1e-4 else None
             )
+            dev_s = (f"{ns / dev_t:,.0f}" if dev_t >= 1e-4
+                     else "below floor resolution")
             log(f"{name}: {ns} streams, median {med * 1e3:.1f} ms/step "
                 f"-> {ns / med:,.0f} stream-chunks/s "
-                f"(device-only {ns / max(med - floor, 1e-9):,.0f})")
+                f"(device-only {dev_s})")
 
         # Host-ingest serving wall with the production wire format
         # (uint8 mu-law, 1 byte/sample, decoded in the jitted step) —

@@ -166,7 +166,8 @@ def _engine_meta(kws) -> dict:
     }
 
 
-def write_snapshot(path: Path, kws, snap: dict, compress: bool = True) -> None:
+def write_snapshot(path: Path, kws, snap: dict, compress: bool = True,
+                   extra_meta: dict | None = None) -> None:
     """Write an already-taken snapshot() to `path` (.npz). Split from
     save_serving_state for multi-host callers: snapshot() is an
     all-gather COLLECTIVE every process must run, while the file write
@@ -186,11 +187,17 @@ def write_snapshot(path: Path, kws, snap: dict, compress: bool = True) -> None:
     # npz member names can't contain ':' on some zip tooling paths; map
     # the 'seg:<stat>' snapshot keys to 'seg__<stat>' members.
     arrays = {k.replace("seg:", "seg__"): v for k, v in snap.items()}
+    meta = _engine_meta(kws)
+    if extra_meta:
+        # Namespaced extension rows (e.g. StreamPool's session table).
+        # load_serving_state validates only the engine-identity keys and
+        # returns the full meta, so extensions ride along untouched.
+        meta.update(extra_meta)
     path = Path(path)
     tmp = path.with_name(path.name + ".tmp")
     writer = np.savez_compressed if compress else np.savez
     with open(tmp, "wb") as f:   # file handle: numpy can't append '.npz'
-        writer(f, meta=json.dumps(_engine_meta(kws)), **arrays)
+        writer(f, meta=json.dumps(meta), **arrays)
     os.replace(tmp, path)
 
 
@@ -203,12 +210,15 @@ def save_serving_state(path: Path, kws, compress: bool = True) -> None:
     write_snapshot(path, kws, kws.snapshot(), compress=compress)
 
 
-def load_serving_state(path: Path, kws) -> None:
+def load_serving_state(path: Path, kws) -> dict:
     """Validate `path` against `kws`'s identity and install the state.
 
     Raises ValueError on any mismatch: engine kind, stream count,
     frontend, feature set, chunk geometry, or weights. After it returns,
-    `kws` continues the saved streams bit-exactly.
+    `kws` continues the saved streams bit-exactly. Returns the snapshot's
+    meta dict (engine identity plus any extension rows such as
+    StreamPool's session table) for callers that persist state of their
+    own alongside the engine's.
     """
     try:
         with np.load(Path(path), allow_pickle=False) as data:
@@ -259,6 +269,7 @@ def load_serving_state(path: Path, kws) -> None:
             "it would not continue the streams the snapshot recorded"
         )
     kws.restore(arrays)
+    return meta
 
 
 def _stream_axis(key: str) -> int:

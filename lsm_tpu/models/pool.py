@@ -160,6 +160,82 @@ class StreamPool:
             for s in sessions
         }
 
+    def save(self, path, compress: bool = True) -> None:
+        """Checkpoint the WHOLE serving unit: the engine's cross-chunk
+        stream state (serving_state snapshot, same identity validation on
+        restore) plus this pool's session table — slot map, free-slot
+        order, hop geometry, wire dtype. A server restarted from an
+        engine-only snapshot continues every slot bit-exactly but has
+        forgotten which session owns which slot; this closes that hole.
+
+        Session ids must be JSON scalars (str / int / bool / None) to
+        survive the file; richer ids should be mapped to strings by the
+        caller. Multi-host: snapshot() is a collective — call save() on
+        every process, it writes on process 0 only (same contract as
+        write_snapshot)."""
+        from lsm_tpu.io.serving_state import write_snapshot
+
+        for s in self._slot_of:
+            if not isinstance(s, (str, int, bool)) and s is not None:
+                raise TypeError(
+                    f"session id {s!r} is not a JSON scalar — StreamPool."
+                    "save() persists ids as str/int/bool/None; map richer "
+                    "ids to strings before admitting them"
+                )
+        pool_meta = {
+            "pool": {
+                "sessions": [[s, slot] for s, slot in self._slot_of.items()],
+                "free": list(self._free),
+                "chunk_len": self._chunk_len,
+                "wire_dtype": (str(self._wire_dtype)
+                               if self._wire_dtype is not None else None),
+            }
+        }
+        snap = self.kws.snapshot()
+        import jax
+
+        if jax.process_index() == 0:
+            write_snapshot(path, self.kws, snap, compress=compress,
+                           extra_meta=pool_meta)
+
+    @classmethod
+    def restore(cls, path, kws) -> "StreamPool":
+        """Rebuild a pool from a save()d snapshot onto a fresh engine:
+        engine state installs bit-exactly (full load_serving_state
+        identity validation) and the session table comes back as written
+        — same slot per session, same free-list order (so the next
+        admit() lands in the same slot it would have), same silent-hop
+        geometry and wire dtype."""
+        from lsm_tpu.io.serving_state import load_serving_state
+
+        meta = load_serving_state(path, kws)
+        pm = meta.get("pool")
+        if pm is None:
+            raise ValueError(
+                "snapshot has no pool session table (it was written with "
+                "save_serving_state, not StreamPool.save) — restore the "
+                "engine with load_serving_state and re-admit sessions"
+            )
+        slot_of = {s: int(slot) for s, slot in pm["sessions"]}
+        free = [int(i) for i in pm["free"]]
+        # The table must partition the slot space — anything else is a
+        # corrupt or hand-edited file and would double-book a slot.
+        claimed = list(slot_of.values())
+        if sorted(claimed + free) != list(range(kws.n_streams)):
+            raise ValueError(
+                "pool session table is corrupt: claimed slots "
+                f"{sorted(claimed)} + free {sorted(free)} do not "
+                f"partition {kws.n_streams} slots"
+            )
+        pool = cls(
+            kws,
+            chunk_len=pm["chunk_len"],
+            wire_dtype=pm["wire_dtype"],
+        )
+        pool._slot_of = slot_of
+        pool._free = free
+        return pool
+
     def drain(self, session_ids: Sequence[Hashable],
               dst_pool: "StreamPool") -> None:
         """Move live sessions to `dst_pool` BIT-exactly (row-level

@@ -138,6 +138,70 @@ def test_pool_silent_hop_honors_wire_dtype(setup, rng):
     assert out["a"][0] == want[0]
 
 
+def test_pool_save_restore_round_trip(setup, rng, tmp_path):
+    """StreamPool.save persists the WHOLE serving unit: after a restart
+    (fresh engine + restore) every connected session continues bit-equal
+    to the uninterrupted pool — same slots, same free-list order (the
+    next admit lands where it would have), same silent-hop wire dtype."""
+    pool = StreamPool(_mk(setup))
+    cont = StreamPool(_mk(setup))          # the uninterrupted reference
+    for p in (pool, cont):
+        p.admit("a")
+        p.admit(7)                          # int ids round-trip as ints
+    audio = (rng.standard_normal((4, L)) * 0.2).astype(np.float32)
+    for p in (pool, cont):
+        p.step({"a": audio[0], 7: audio[1]})
+        p.finish("a")                       # slot 0 joins the free list
+
+    path = tmp_path / "pool.npz"
+    pool.save(path)
+    restored = StreamPool.restore(path, _mk(setup))
+    assert restored.slot_of(7) == cont.slot_of(7)
+    assert isinstance(list(restored._slot_of)[0], int)
+
+    out = restored.step({7: audio[2]})
+    want = cont.step({7: audio[2]})
+    assert out == want
+    # Free-list order survived: the next admit claims the same slot.
+    assert restored.admit("c") == cont.admit("c")
+    out = restored.step({"c": audio[3]})
+    want = cont.step({"c": audio[3]})
+    assert out == want
+
+
+def test_pool_save_restore_rejects_bad_inputs(setup, tmp_path):
+    from lsm_tpu.io.serving_state import save_serving_state
+
+    pool = StreamPool(_mk(setup))
+    pool.admit(("tuple", "id"))             # fine to serve, not to save
+    with pytest.raises(TypeError, match="JSON scalar"):
+        pool.save(tmp_path / "x.npz")
+
+    # Engine-only snapshot: restore must say what's missing.
+    eng = _mk(setup)
+    path = tmp_path / "engine_only.npz"
+    save_serving_state(path, eng)
+    with pytest.raises(ValueError, match="no pool session table"):
+        StreamPool.restore(path, _mk(setup))
+
+
+def test_pool_restore_rejects_corrupt_session_table(setup, tmp_path):
+    """A hand-edited table that double-books a slot must fail loudly."""
+    import json
+
+    pool = StreamPool(_mk(setup))
+    pool.admit("a")
+    path = tmp_path / "pool.npz"
+    pool.save(path)
+    with np.load(path, allow_pickle=False) as data:
+        arrays = {k: data[k] for k in data.files if k != "meta"}
+        meta = json.loads(str(data["meta"]))
+    meta["pool"]["free"] = meta["pool"]["free"] + [0]  # slot 0 also claimed
+    np.savez(path, meta=json.dumps(meta), **arrays)
+    with pytest.raises(ValueError, match="do not partition"):
+        StreamPool.restore(path, _mk(setup))
+
+
 def test_pool_capacity_and_drain(setup, rng):
     src = StreamPool(_mk(setup, n=2))
     dst = StreamPool(_mk(setup, n=2))
