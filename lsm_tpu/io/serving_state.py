@@ -210,6 +210,32 @@ def save_serving_state(path: Path, kws, compress: bool = True) -> None:
     write_snapshot(path, kws, kws.snapshot(), compress=compress)
 
 
+def read_snapshot_meta(path: Path) -> dict:
+    """Read and format-check a snapshot's meta header WITHOUT touching
+    any engine: the snapshot-inspection primitive (operators listing
+    checkpoints; StreamPool validating its session table before it lets
+    load_serving_state mutate device state). Raises the same ValueError
+    contract as load_serving_state for unreadable/foreign files."""
+    try:
+        with np.load(Path(path), allow_pickle=False) as data:
+            if "meta" not in data.files:
+                raise ValueError(f"'{path}' is not a serving-state snapshot")
+            meta = json.loads(str(data["meta"]))
+    except FileNotFoundError:
+        raise
+    except (zipfile.BadZipFile, OSError, json.JSONDecodeError) as e:
+        raise ValueError(
+            f"'{path}' is corrupt or truncated (not a readable "
+            f"serving-state snapshot): {e}"
+        ) from e
+    if meta.get("format") != _FORMAT:
+        raise ValueError(
+            f"'{path}' has format {meta.get('format')!r} "
+            f"(this build reads: {_FORMAT})"
+        )
+    return meta
+
+
 def load_serving_state(path: Path, kws) -> dict:
     """Validate `path` against `kws`'s identity and install the state.
 
@@ -220,19 +246,15 @@ def load_serving_state(path: Path, kws) -> dict:
     StreamPool's session table) for callers that persist state of their
     own alongside the engine's.
     """
+    meta = read_snapshot_meta(path)
     try:
         with np.load(Path(path), allow_pickle=False) as data:
-            if "meta" not in data.files:
-                raise ValueError(f"'{path}' is not a serving-state snapshot")
-            meta = json.loads(str(data["meta"]))
             arrays = {
                 k.replace("seg__", "seg:"): data[k]
                 for k in data.files
                 if k != "meta"
             }
-    except FileNotFoundError:
-        raise
-    except (zipfile.BadZipFile, OSError, json.JSONDecodeError) as e:
+    except (zipfile.BadZipFile, OSError) as e:
         # A server killed mid --save-state leaves a truncated .npz;
         # surface it as the same ValueError contract as every other
         # invalid-snapshot condition instead of a raw zipfile traceback.
@@ -240,11 +262,6 @@ def load_serving_state(path: Path, kws) -> dict:
             f"'{path}' is corrupt or truncated (not a readable "
             f"serving-state snapshot): {e}"
         ) from e
-    if meta.get("format") != _FORMAT:
-        raise ValueError(
-            f"'{path}' has format {meta.get('format')!r} "
-            f"(this build reads: {_FORMAT})"
-        )
     want = _engine_meta(kws)
     for key, label in (
         ("engine", "engine mode"),

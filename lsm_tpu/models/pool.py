@@ -205,11 +205,14 @@ class StreamPool:
         identity validation) and the session table comes back as written
         — same slot per session, same free-list order (so the next
         admit() lands in the same slot it would have), same silent-hop
-        geometry and wire dtype."""
-        from lsm_tpu.io.serving_state import load_serving_state
+        geometry and wire dtype. The session table is validated BEFORE
+        the engine install (read_snapshot_meta is engine-free), so a
+        rejected file leaves the engine untouched."""
+        from lsm_tpu.io.serving_state import (
+            load_serving_state, read_snapshot_meta,
+        )
 
-        meta = load_serving_state(path, kws)
-        pm = meta.get("pool")
+        pm = read_snapshot_meta(path).get("pool")
         if pm is None:
             raise ValueError(
                 "snapshot has no pool session table (it was written with "
@@ -227,6 +230,7 @@ class StreamPool:
                 f"{sorted(claimed)} + free {sorted(free)} do not "
                 f"partition {kws.n_streams} slots"
             )
+        load_serving_state(path, kws)
         pool = cls(
             kws,
             chunk_len=pm["chunk_len"],

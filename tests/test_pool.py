@@ -185,12 +185,16 @@ def test_pool_save_restore_rejects_bad_inputs(setup, tmp_path):
         StreamPool.restore(path, _mk(setup))
 
 
-def test_pool_restore_rejects_corrupt_session_table(setup, tmp_path):
-    """A hand-edited table that double-books a slot must fail loudly."""
+def test_pool_restore_rejects_corrupt_session_table(setup, rng, tmp_path):
+    """A hand-edited table that double-books a slot must fail loudly —
+    BEFORE the engine install, so the target engine's state is
+    untouched by the rejected file."""
     import json
 
     pool = StreamPool(_mk(setup))
     pool.admit("a")
+    audio = (rng.standard_normal((4, L)) * 0.2).astype(np.float32)
+    pool.step({"a": audio[0]})
     path = tmp_path / "pool.npz"
     pool.save(path)
     with np.load(path, allow_pickle=False) as data:
@@ -198,8 +202,17 @@ def test_pool_restore_rejects_corrupt_session_table(setup, tmp_path):
         meta = json.loads(str(data["meta"]))
     meta["pool"]["free"] = meta["pool"]["free"] + [0]  # slot 0 also claimed
     np.savez(path, meta=json.dumps(meta), **arrays)
+
+    target, ref = _mk(setup), _mk(setup)
+    target.step(audio[1:2].repeat(4, 0))
+    ref.step(audio[1:2].repeat(4, 0))
     with pytest.raises(ValueError, match="do not partition"):
-        StreamPool.restore(path, _mk(setup))
+        StreamPool.restore(path, target)
+    # The rejected restore mutated nothing: target still tracks ref.
+    np.testing.assert_array_equal(
+        np.asarray(target.step(audio[2:3].repeat(4, 0))),
+        np.asarray(ref.step(audio[2:3].repeat(4, 0))),
+    )
 
 
 def test_pool_capacity_and_drain(setup, rng):
