@@ -684,6 +684,15 @@ class ContinuousKWS:
         # without shard_map.
         self._features = jax.jit(_features_fn)
 
+        def _diag_fn(segs):
+            counts = jnp.sum(segs["counts"], axis=0)        # (B, no)
+            return (jnp.sum(counts > 0, axis=1).astype(jnp.int32),
+                    jnp.sum(counts, axis=1))
+
+        # Per-stream reduction over (B, no): partitions under the mesh
+        # like _features_fn; D2H is two (B,) scalar vectors.
+        self._diag = jax.jit(_diag_fn)
+
         def _reset_streams_fn(st: ContinuousState, mask) -> ContinuousState:
             """Re-init every state leaf where mask (B,) is True. The init
             values are the _init_state constants; all leaves are batch-
@@ -731,6 +740,30 @@ class ContinuousKWS:
         continuous-mode feature distributions (tools/bench_continuous.py
         'matched' protocol)."""
         return np.asarray(self._features(self.state.segs, self.state.win_ring))
+
+    def diagnostics(self, stream_idx=None):
+        """Reservoir health on LIVE serving traffic, from the
+        per-output-neuron window spike counts this engine already carries
+        (the segment-summary ring) — zero extra simulation. Reports
+        participation / dead neurons / mean rate per stream plus the
+        regime verdict with the reference's thresholds
+        (extract_lsm_features.py:92-152). Scope is the OUTPUT-neuron
+        subset: output neurons are an exchangeable random subset of the
+        reservoir, so the participation percentage is an unbiased
+        estimator of the full-reservoir figure the batch diagnostics
+        report. `stream_idx` selects the streams the verdict averages
+        over (None = all; silent and still-warming slots read
+        sub-critical by nature — a cold stream needs one full window of
+        audio before its ring covers the window)."""
+        from lsm_tpu.models.diagnostics import serving_report
+        from lsm_tpu.models.streaming import materialize_stream_output
+
+        act, tot = self._diag(self.state.segs)
+        return serving_report(
+            materialize_stream_output(act, self.mesh),
+            materialize_stream_output(tot, self.mesh),
+            self.params.n_outputs, "output", stream_idx,
+        )
 
     def _state_pspec(self):
         """PartitionSpecs for ContinuousState: batch axis sharded along

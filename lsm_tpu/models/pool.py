@@ -160,6 +160,25 @@ class StreamPool:
             for s in sessions
         }
 
+    def diagnostics(self):
+        """Reservoir health over the CONNECTED sessions only (free slots
+        are fed silence and would read sub-critical by nature): the
+        serving analogue of the batch `run_network_diagnostics`. Returns
+        (report, per_session) — the engine's ServingDiagnosticsReport
+        restricted to connected slots, plus {session_id: (participation
+        %, spikes/neuron)}. Raises ValueError on an empty pool (no live
+        traffic to diagnose). Multi-host: SPMD collective like step —
+        every process must call it together."""
+        sessions = sorted(self._slot_of, key=lambda s: self._slot_of[s])
+        rep = self.kws.diagnostics(
+            stream_idx=[self._slot_of[s] for s in sessions]
+        )
+        per_session = {
+            s: (float(rep.participation[i]), float(rep.spikes_per_neuron[i]))
+            for i, s in enumerate(sessions)
+        }
+        return rep, per_session
+
     def save(self, path, compress: bool = True) -> None:
         """Checkpoint the WHOLE serving unit: the engine's cross-chunk
         stream state (serving_state snapshot, same identity validation on
@@ -264,7 +283,11 @@ class StreamPool:
         except Exception:
             # Claims are pure bookkeeping (no state was touched): undo
             # them so a failed drain leaves both pools exactly as before.
-            for s in claimed:
+            # Unwind in REVERSE claim order — _claim pops from the list
+            # tail, so appending back in claim order would permute the
+            # free list and a later admit() would land in a different
+            # slot than on a pool that never saw the failed drain.
+            for s in reversed(claimed):
                 dst_pool._free.append(dst_pool._slot_of.pop(s))
             raise
         # Recycle the source slots: one masked reset dispatch, not one

@@ -431,6 +431,63 @@ class StreamingKWS:
 
         self._step_active = _step_active
 
+        # Live-traffic diagnostics program (compiled on first
+        # diagnostics() call): re-simulate the current trailing windows
+        # and reduce FULL-reservoir spike counts to per-stream
+        # (active, total) scalars — a tiny D2H, and exactly the batch
+        # diagnostics' semantics (extract_lsm_features.py:92-152) applied
+        # to the live window.
+        if isinstance(params, res.ReservoirParams):
+            _sim = res.simulate_batch
+        else:
+            from lsm_tpu.models.sparse import simulate_batch_sparse as _sim
+
+        def _diag_body(p, buffer):
+            spikes = featurize_batch(buffer, fcfg)
+            counts = _sim(p, spikes)["all_counts"]
+            return (jnp.sum(counts > 0, axis=1).astype(jnp.int32),
+                    jnp.sum(counts, axis=1))
+
+        if mesh is None:
+            self._diag = jax.jit(_diag_body)
+        else:
+            _diag_sm = shard_map(
+                lambda buffer_local, *weights: _diag_body(
+                    dataclasses.replace(params, **dict(zip(names, weights))),
+                    buffer_local,
+                ),
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None),) + (P(),) * len(names),
+                out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                check_vma=False,
+            )
+
+            def _diag_fn(p, buffer):
+                return _diag_sm(buffer, *[getattr(p, nm) for nm in names])
+
+            self._diag = jax.jit(_diag_fn)
+
+    def diagnostics(self, stream_idx=None):
+        """Reservoir health on LIVE serving traffic: re-simulates each
+        stream's current trailing window and reports full-reservoir
+        participation / dead neurons / mean rate per stream plus the
+        regime verdict, with the reference's thresholds and advice
+        (extract_lsm_features.py:92-152) — how a deployed server checks
+        its reservoir is still at the edge of chaos on real audio
+        statistics. `stream_idx` selects the streams the verdict averages
+        over (None = all; silent slots read sub-critical by nature, so
+        pools pass their connected sessions). On-demand cost: one full
+        window simulation per call — run it at health-check cadence, not
+        per hop."""
+        from lsm_tpu.models.diagnostics import serving_report
+
+        act, tot = self._diag(self.params, self.buffer)
+        return serving_report(
+            materialize_stream_output(act, self.mesh),
+            materialize_stream_output(tot, self.mesh),
+            self.params.n_neurons, "full", stream_idx,
+        )
+
     def step_active(self, rows, active_idx, compact: bool = False):
         """step() with only the ACTIVE streams' audio on the wire: `rows`
         is (k, chunk_len) in any ingest wire format, `active_idx` the k

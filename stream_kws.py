@@ -103,6 +103,14 @@ def main() -> None:
                              "write, so a kill mid-checkpoint keeps the "
                              "previous snapshot) — the always-on "
                              "periodic-checkpoint pattern.")
+    parser.add_argument("--diagnostics-every", type=int, default=0,
+                        metavar="N",
+                        help="Every N chunks, print the live reservoir "
+                             "health report (participation / regime with "
+                             "the reference's run_network_diagnostics "
+                             "thresholds) over the served streams — how "
+                             "an always-on deployment checks its "
+                             "--multiplier still holds on real audio.")
     parser.add_argument("--restore-state", type=str, default=None,
                         help="Before serving, restore a --save-state "
                              "snapshot (validated against this bundle's "
@@ -286,6 +294,16 @@ def main() -> None:
         if args.save_state_every and (c + 1) % args.save_state_every == 0:
             _checkpoint()
             last_ckpt_chunk = c
+        if args.diagnostics_every and (c + 1) % args.diagnostics_every == 0:
+            import jax
+
+            # SPMD: diagnostics is a collective on a multi-host mesh —
+            # every process computes, process 0 prints. Restrict to the
+            # real streams (mesh padding rows are silence and would
+            # read sub-critical).
+            rep = kws.diagnostics(stream_idx=np.arange(n_real))
+            if jax.process_index() == 0:
+                print(rep.render())
 
     if args.save_state:
         import jax

@@ -314,3 +314,17 @@ def test_pool_review_guards(setup, rng):
     with pytest.raises(ValueError, match="chunk length"):
         src.drain(["x"], other)
     assert other.n_active == 0 and src.n_active == 2
+
+    # A failed MULTI-session drain must restore the destination
+    # free-list ORDER, not just its contents: the next admit on the
+    # destination lands in the same slot as on a pool that never saw
+    # the failed drain (claims pop the tail, so rollback unwinds in
+    # reverse claim order).
+    other4 = StreamPool(
+        ContinuousKWS(params, readout, st, fcfg, "original", 4,
+                      chunk_len=3200)
+    )
+    free_before = list(other4._free)
+    with pytest.raises(ValueError, match="chunk length"):
+        src.drain(["x", "y"], other4)
+    assert other4._free == free_before

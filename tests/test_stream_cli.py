@@ -68,12 +68,17 @@ def test_stream_kws_cli_end_to_end(tmp_path):
     # corpus should be near the pipeline's (synthetic corpus: ~1.0).
     r = _run(
         [str(REPO / "stream_kws.py"), "--model", "m.npz",
-         "--data-dir", str(corpus), "--single-device"],
+         "--data-dir", str(corpus), "--single-device",
+         "--diagnostics-every", "5"],
         tmp_path,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "exact mode" in r.stdout
     assert "Accuracy vs directory labels" in r.stdout
+    # Live reservoir health report (run_network_diagnostics thresholds
+    # on the served streams' trailing windows).
+    assert "SERVING RESERVOIR DIAGNOSTICS" in r.stdout
+    assert "STATUS:" in r.stdout
     out = np.load(tmp_path / "stream_predictions.npz", allow_pickle=False)
     assert len(out["predictions"]) == 32
     acc = float((out["predictions"] == out["labels"]).mean())
