@@ -149,6 +149,11 @@ WORKER = textwrap.dedent(
     ).astype(np.float32)
     logits_active = kws.step_active(act_rows, act_idx)
 
+    # Live serving diagnostics across processes: the per-stream window
+    # count reduction runs on the sharded ring, host_local all-gathers
+    # the (B,) results — every process must see the same report.
+    diag = kws.diagnostics(stream_idx=np.array([2, 6]))
+
     if pid == 0:
         np.savez(
             sys.argv[1],
@@ -162,6 +167,8 @@ WORKER = textwrap.dedent(
                for k, v in rows.items()},
             logits_after_install=np.asarray(logits_after_install),
             logits_active=np.asarray(logits_active),
+            diag_part=diag.participation,
+            diag_rate=diag.spikes_per_neuron,
         )
     print(f"worker {pid} done", flush=True)
     """
@@ -313,4 +320,17 @@ def test_two_process_dp_matches_single_process(tmp_path):
     np.testing.assert_allclose(
         got["logits_active"], ref_active, rtol=1e-4, atol=1e-4,
         err_msg="step_active diverged across processes",
+    )
+
+    # Live diagnostics on the 2-process mesh equals the single-process
+    # engine's (integer window counts -> exact equality expected, but
+    # allow float tolerance for the count reductions).
+    ref_diag = kws_ref.diagnostics(stream_idx=np.array([2, 6]))
+    np.testing.assert_allclose(
+        got["diag_part"], ref_diag.participation, rtol=1e-6,
+        err_msg="serving diagnostics diverged across processes",
+    )
+    np.testing.assert_allclose(
+        got["diag_rate"], ref_diag.spikes_per_neuron, rtol=1e-6,
+        err_msg="serving diagnostics rate diverged across processes",
     )
