@@ -31,7 +31,7 @@ from pathlib import Path
 
 import numpy as np
 
-from lsm_tpu.cli.common import setup_logging
+from lsm_tpu.cli.common import metrics_from_args, setup_logging
 from lsm_tpu.io import model as model_io
 
 
@@ -103,6 +103,11 @@ def main() -> None:
                              "write, so a kill mid-checkpoint keeps the "
                              "previous snapshot) — the always-on "
                              "periodic-checkpoint pattern.")
+    parser.add_argument("--metrics-out", type=str, default=None,
+                        help="Append structured JSONL metric records "
+                             "(serving rate, wire format, diagnostics "
+                             "regime, accuracy) to this file — the same "
+                             "MetricLogger schema as the stage CLIs.")
     parser.add_argument("--diagnostics-every", type=int, default=0,
                         metavar="N",
                         help="Every N chunks, print the live reservoir "
@@ -275,6 +280,12 @@ def main() -> None:
             save_serving_state(Path(args.save_state), kws,
                                compress=compress)
 
+    import time as _time
+
+    import jax as _jax
+
+    metrics = metrics_from_args(args) if _jax.process_index() == 0 else None
+    t_serve = _time.perf_counter()
     preds = margins = logits = None
     last_ckpt_chunk = -1
     for c in range(n_chunks):
@@ -304,6 +315,21 @@ def main() -> None:
             rep = kws.diagnostics(stream_idx=np.arange(n_real))
             if jax.process_index() == 0:
                 print(rep.render())
+                if metrics:
+                    metrics.emit(
+                        "serving_participation_pct",
+                        round(rep.avg_participation, 2),
+                        regime=rep.regime, scope=rep.scope, chunk=c + 1,
+                    )
+
+    if metrics:
+        wall = _time.perf_counter() - t_serve
+        metrics.emit(
+            "serving_stream_chunks_per_sec",
+            round(n_chunks * n_real / wall, 2),
+            mode=mode, streams=n_real, chunks=n_chunks,
+            chunk_ms=served_ms, wire=args.wire, wall_s=round(wall, 3),
+        )
 
     if args.save_state:
         import jax
@@ -347,6 +373,11 @@ def main() -> None:
         acc = float((preds[known] == labels[known]).mean())
         print(f"Accuracy vs directory labels ({int(known.sum())} streams): "
               f"{acc * 100:.2f}%")
+        if metrics:
+            metrics.emit("serving_accuracy", round(acc, 4),
+                         streams=int(known.sum()), mode=mode)
+    if metrics:
+        metrics.close()
 
 
 if __name__ == "__main__":

@@ -69,7 +69,7 @@ def test_stream_kws_cli_end_to_end(tmp_path):
     r = _run(
         [str(REPO / "stream_kws.py"), "--model", "m.npz",
          "--data-dir", str(corpus), "--single-device",
-         "--diagnostics-every", "5"],
+         "--diagnostics-every", "5", "--metrics-out", "serve.jsonl"],
         tmp_path,
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -79,6 +79,17 @@ def test_stream_kws_cli_end_to_end(tmp_path):
     # on the served streams' trailing windows).
     assert "SERVING RESERVOIR DIAGNOSTICS" in r.stdout
     assert "STATUS:" in r.stdout
+    # Structured serving metrics (same MetricLogger schema as the stages).
+    import json
+
+    recs = [json.loads(l) for l in
+            (tmp_path / "serve.jsonl").read_text().splitlines()]
+    by_name = {rec["metric"]: rec for rec in recs}
+    assert "serving_participation_pct" in by_name
+    assert by_name["serving_participation_pct"]["regime"]
+    assert by_name["serving_stream_chunks_per_sec"]["value"] > 0
+    assert by_name["serving_stream_chunks_per_sec"]["wire"] == "f32"
+    assert 0.8 < by_name["serving_accuracy"]["value"] <= 1.0
     out = np.load(tmp_path / "stream_predictions.npz", allow_pickle=False)
     assert len(out["predictions"]) == 32
     acc = float((out["predictions"] == out["labels"]).mean())
