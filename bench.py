@@ -247,11 +247,17 @@ def main() -> None:
             "cold_h2d_s": round(t_h2d, 3),
             "cold_compute_s": round(t_cmp, 3),
             "cold_decode_files_per_sec": round(n_kept / max(t_dec, 1e-9), 1),
-            "cold_h2d_mbytes_per_sec": round(
-                nbytes / 1e6 / max(t_h2d - floor, 1e-9), 1
+            # Floor-adjusted rates are meaningless when the phase time sits
+            # at/under the dispatch floor — report null instead of an
+            # absurd 1e16 rate (same rule as the streaming device-only
+            # extras below).
+            "cold_h2d_mbytes_per_sec": (
+                round(nbytes / 1e6 / (t_h2d - floor), 1)
+                if t_h2d - floor >= 1e-4 else None
             ),
-            "cold_compute_utt_per_sec": round(
-                n_kept / max(t_cmp - floor, 1e-9), 1
+            "cold_compute_utt_per_sec": (
+                round(n_kept / (t_cmp - floor), 1)
+                if t_cmp - floor >= 1e-4 else None
             ),
             "cold_ulaw_utt_per_sec_per_chip": round(
                 u_kept / u_dt / n_chips, 2

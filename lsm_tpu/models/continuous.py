@@ -1037,9 +1037,11 @@ class ContinuousKWS:
         moves. Multi-host: a collective; call on every process with
         identical indices (SPMD, like reset)."""
         from lsm_tpu.io.serving_state import _stream_axis
+        from lsm_tpu.models.streaming import validate_stream_idx
         from lsm_tpu.parallel.mesh import host_local
 
-        idx_np = np.atleast_1d(np.asarray(stream_idx))
+        idx_np = validate_stream_idx(stream_idx, self.n_streams,
+                                     "extract_streams")
         nk = idx_np.shape[0]
         leaves = self._state_leaves()
         packed = np.asarray(host_local(_extract_rows_packed(
@@ -1070,8 +1072,10 @@ class ContinuousKWS:
         leaves/dtypes as extract_streams — validated before any state
         mutates. Multi-host: SPMD, identical arguments everywhere."""
         from lsm_tpu.io.serving_state import _stream_axis
+        from lsm_tpu.models.streaming import validate_stream_idx
 
-        idx = np.atleast_1d(np.asarray(stream_idx))
+        idx = validate_stream_idx(stream_idx, self.n_streams,
+                                  "install_streams", unique=True)
         ref = self._state_leaves()
         missing = set(ref) - set(rows)
         if missing:

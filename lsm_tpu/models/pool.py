@@ -132,8 +132,6 @@ class StreamPool:
                     " — transcode producers to one format per step"
                 )
             rows = np.stack(arrs)
-            self._chunk_len = rows.shape[1]
-            self._wire_dtype = rows.dtype
         else:
             # Nothing connected spoke this hop: free/silent slots still
             # advance (state decay is part of the engines' contract) —
@@ -154,6 +152,13 @@ class StreamPool:
             rows = np.zeros((0, self._chunk_len), dt)
             idx = np.zeros((0,), np.int64)
         preds, margins = self.kws.step_active(rows, idx, compact=True)
+        if rows.shape[0]:
+            # Cache the silent-hop geometry only AFTER the engine accepted
+            # the rows: a malformed fed hop (wrong length/dtype) raises in
+            # step_active's validation, and committing first would corrupt
+            # every later all-silent hop (and any save()d checkpoint).
+            self._chunk_len = rows.shape[1]
+            self._wire_dtype = rows.dtype
         return {
             s: (int(preds[self._slot_of[s]]),
                 float(margins[self._slot_of[s]]))
@@ -270,6 +275,8 @@ class StreamPool:
         from lsm_tpu.io.serving_state import migrate_streams
 
         session_ids = list(session_ids)
+        if not session_ids:
+            return          # empty move set: nothing to migrate or reset
         if len(set(session_ids)) != len(session_ids):
             raise ValueError("duplicate session ids in drain()")
         src_idx = [self._slot_of[s] for s in session_ids]  # KeyError early

@@ -161,6 +161,30 @@ def expand_active_rows(rows: jnp.ndarray, idx: jnp.ndarray,
     return full.at[idx].set(rows)
 
 
+def validate_stream_idx(stream_idx, n_streams: int, what: str,
+                        unique: bool = False) -> np.ndarray:
+    """Host-side validation for row-addressed engine entry points
+    (extract_streams / install_streams): XLA's take/scatter CLAMP
+    out-of-range indices, so an off-by-one from a session table would
+    silently move the WRONG stream's state bit-exactly — fail loudly on
+    the host instead (the step_active convention)."""
+    idx = np.atleast_1d(np.asarray(stream_idx))
+    if idx.ndim != 1 or idx.size == 0:
+        raise ValueError(f"{what} needs a non-empty 1-D stream index list, "
+                         f"got shape {idx.shape}")
+    if not np.issubdtype(idx.dtype, np.integer):
+        raise ValueError(f"{what} stream indices must be integers, "
+                         f"got {idx.dtype}")
+    if idx.min() < 0 or idx.max() >= n_streams:
+        raise ValueError(
+            f"{what} stream index out of range for {n_streams} streams: "
+            f"{idx[(idx < 0) | (idx >= n_streams)][:4].tolist()}"
+        )
+    if unique and len(set(idx.tolist())) != idx.shape[0]:
+        raise ValueError(f"{what} has duplicate stream indices")
+    return idx
+
+
 def _validate_active(rows: "np.ndarray", idx: "np.ndarray",
                      n_streams: int, chunk_len: "int | None",
                      max_len: "int | None" = None) -> None:
@@ -679,7 +703,11 @@ class StreamingKWS:
         runs on device, so only the selected rows cross D2H. The unit
         serving_state.migrate_streams moves. Multi-host: a collective —
         call on every process with identical indices (SPMD)."""
-        idx = jnp.asarray(np.atleast_1d(np.asarray(stream_idx)), jnp.int32)
+        idx = jnp.asarray(
+            validate_stream_idx(stream_idx, self.n_streams,
+                                "extract_streams"),
+            jnp.int32,
+        )
         return {
             "buffer": np.asarray(
                 meshlib.host_local(jnp.take(self.buffer, idx, axis=0))
@@ -689,7 +717,8 @@ class StreamingKWS:
     def install_streams(self, stream_idx, rows: dict) -> None:
         """Inverse of extract_streams: scatter donor rows into the named
         slots, other slots untouched. Multi-host: SPMD."""
-        idx = np.atleast_1d(np.asarray(stream_idx))
+        idx = validate_stream_idx(stream_idx, self.n_streams,
+                                  "install_streams", unique=True)
         if "buffer" not in rows:
             raise ValueError("donor rows are missing state leaf 'buffer'")
         r = np.asarray(rows["buffer"])

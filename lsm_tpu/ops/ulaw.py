@@ -53,11 +53,13 @@ def encode_ulaw(pcm: np.ndarray) -> np.ndarray:
 
 
 def encode_ulaw_f32(audio: np.ndarray) -> np.ndarray:
-    """f32 samples in [-1, 1] -> uint8 mu-law via the int16 convention."""
-    pcm = np.clip(
-        np.asarray(audio, np.float32) * 32768.0, -32768, 32767
-    ).astype(np.int16)
-    return encode_ulaw(pcm)
+    """f32 samples in [-1, 1] -> uint8 mu-law via the int16 wire
+    convention (io/wav.to_pcm16_wire — the ONE definition of the host
+    f32->int16 quantization, so the mu-law wire and the PCM16 wire
+    cannot drift apart)."""
+    from lsm_tpu.io.wav import to_pcm16_wire
+
+    return encode_ulaw(to_pcm16_wire(audio))
 
 
 def decode_ulaw_reference(ulaw: np.ndarray) -> np.ndarray:

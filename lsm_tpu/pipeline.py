@@ -849,8 +849,12 @@ def extract_and_train_streaming(
             # --check debug mode: host-side validation per batch (costs a
             # D2H sync; the checkify-instrumented path needs the full
             # matrix and does not apply to the streaming accumulator).
+            # host_local: the DP output is data-axis sharded — on a
+            # multi-process mesh np.asarray on non-addressable shards
+            # raises; one all-gather makes it materializable everywhere.
             _check_features_host(
-                np.asarray(feats), "extract_and_train_streaming"
+                np.asarray(meshlib.host_local(feats)),
+                "extract_and_train_streaming",
             )
         return feats
 
@@ -908,8 +912,12 @@ def extract_and_train_streaming(
         y_true.append(np.asarray(yb))
         if len(preds_dev) % 8 == 0:      # same backpressure as the fit pass
             preds_dev[-1].block_until_ready()
+    # host_local: predict() inherits the data-axis sharding from the DP
+    # features — on a multi-process mesh each (bs,) prediction vector
+    # spans non-addressable devices until gathered.
     preds = np.concatenate(
-        [np.asarray(p)[:nr] for p, nr in zip(preds_dev, n_reals)]
+        [np.asarray(meshlib.host_local(p))[:nr]
+         for p, nr in zip(preds_dev, n_reals)]
     )
     y_test = np.concatenate(y_true)
     dt = time.perf_counter() - t0

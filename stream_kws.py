@@ -235,6 +235,16 @@ def main() -> None:
 
     names = list(bundle.class_names)
     served_ms = 1000 * chunk_len // fcfg.sample_rate
+    # Multi-host ingest contract: each process feeds its PROCESS-LOCAL
+    # stream rows (process-major partition, mesh.local_stream_rows — the
+    # same contract tests/test_multihost.py pins for the engines). Every
+    # process loads the same WAV list, so the local rows are a slice of
+    # the global batch; single-host this is the whole batch.
+    import jax
+
+    _n_local = meshlib.local_stream_rows(n_streams, mesh)
+    _lo = jax.process_index() * _n_local
+    _hi = _lo + _n_local
     print(f"Serving {n_real} streams in {mode} mode "
           f"({served_ms} ms chunks, {n_chunks} chunks"
           f"{', mesh x' + str(mesh.shape[meshlib.DATA_AXIS]) if mesh else ''})")
@@ -259,6 +269,7 @@ def main() -> None:
         # real deployment simply keeps feeding the live stream and needs
         # no pre-roll (only the stream's very first second is warmup).
         preroll = audio[np.random.default_rng(12345).permutation(n_streams)]
+        preroll = preroll[_lo:_hi]
         for c in range(n_chunks):
             kws.step(_to_wire(preroll[:, c * chunk_len:(c + 1) * chunk_len],
                               args.wire))
@@ -290,7 +301,7 @@ def main() -> None:
     last_ckpt_chunk = -1
     for c in range(n_chunks):
         wire_chunk = _to_wire(
-            audio[:, c * chunk_len:(c + 1) * chunk_len], args.wire
+            audio[_lo:_hi, c * chunk_len:(c + 1) * chunk_len], args.wire
         )
         if args.compact:
             preds_all, margins = kws.step_compact(wire_chunk)

@@ -334,3 +334,80 @@ def test_two_process_dp_matches_single_process(tmp_path):
         got["diag_rate"], ref_diag.spikes_per_neuron, rtol=1e-6,
         err_msg="serving diagnostics rate diverged across processes",
     )
+
+
+@pytest.mark.slow
+def test_two_process_serving_cli(tmp_path):
+    """The advertised multi-host serving mode end-to-end: stream_kws.py
+    under LSM_TPU_COORDINATOR on 2 processes (1 CPU device each, gloo)
+    must serve — each process feeds its PROCESS-LOCAL stream rows
+    (regression: the CLI used to feed full global batches and crash in
+    normalize_ingest_chunk on the first pre-roll/step) — and process 0's
+    predictions must equal a single-process run byte-for-byte."""
+    corpus = tmp_path / "corpus"
+    env1 = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": f"{REPO}:{os.environ.get('PYTHONPATH', '')}",
+    }
+
+    def run1(args):
+        return subprocess.run(
+            [sys.executable, *args], cwd=tmp_path, env=env1,
+            capture_output=True, text=True, timeout=420,
+        )
+
+    r = run1([
+        "-c",
+        "import sys; from lsm_tpu.io.dataset import write_synthetic_corpus;"
+        " write_synthetic_corpus(sys.argv[1], ('yes','no','up','visual'),"
+        " n_per_class=8)", str(corpus),
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run1([
+        str(REPO / "main.py"), "--data-dir", str(corpus),
+        "--num-neurons", "128", "--num-output-neurons", "64",
+        "--batch-size", "32", "--n-filters", "16",
+        "--samples-per-class", "8", "--save-model", "m.npz",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # Single-process reference predictions.
+    r = run1([
+        str(REPO / "stream_kws.py"), "--model", "m.npz",
+        "--data-dir", str(corpus), "--single-device",
+        "--output", "single.npz",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # 2-process SPMD serve of the same corpus.
+    port = _free_port()
+    env2 = {
+        **env1,
+        "LSM_TPU_COORDINATOR": f"localhost:{port}",
+        "LSM_TPU_NUM_PROCESSES": "2",
+        "LSM_TPU_NO_CACHE": "1",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "stream_kws.py"), "--model",
+             "m.npz", "--data-dir", str(corpus), "--output", "multi.npz"],
+            cwd=tmp_path, env={**env2, "LSM_TPU_PROCESS_ID": str(i)},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=420)[0] for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"serving proc {i} failed:\n{logs[i]}"
+    # Device count per process comes from the inherited env
+    # (8 virtual CPU devices under the test conftest -> mesh x16);
+    # the contract under test is that the multi-process serve ran
+    # on a mesh at all and matched the single-process predictions.
+    assert "mesh x" in logs[0]
+
+    single = np.load(tmp_path / "single.npz", allow_pickle=False)
+    multi = np.load(tmp_path / "multi.npz", allow_pickle=False)
+    np.testing.assert_array_equal(multi["predictions"],
+                                  single["predictions"])
+    np.testing.assert_array_equal(multi["labels"], single["labels"])

@@ -328,3 +328,18 @@ def test_pool_review_guards(setup, rng):
     with pytest.raises(ValueError, match="chunk length"):
         src.drain(["x", "y"], other4)
     assert other4._free == free_before
+
+    # Empty move set: a no-op, not an IndexError from the masked reset.
+    src.drain([], other4)
+    assert src.n_active == 2 and other4.n_active == 0
+
+    # A malformed fed hop must NOT corrupt the cached silent-hop
+    # geometry: the engine rejects the rows, and a later all-silent hop
+    # still advances with the REAL hop size.
+    bad = StreamPool(_mk(setup))
+    bad.admit("a")
+    bad.step({"a": np.zeros(L, np.float32)})          # fed hop: caches L
+    with pytest.raises(ValueError, match="chunks"):
+        bad.step({"a": np.zeros(L // 2, np.float32)})  # wrong length
+    assert bad._chunk_len == L
+    bad.step({})                                      # silent hop still OK

@@ -325,6 +325,25 @@ def test_stream_migration_validation(setup):
     with pytest.raises(ValueError, match="one-to-one"):
         migrate_streams(a, b, [0, 1], [0])
 
+    # The engine-level row-addressed methods validate too: XLA take /
+    # scatter would silently CLAMP an out-of-range slot (moving the
+    # wrong stream's state bit-exactly), so they must fail on the host.
+    for eng in (a, StreamingKWS(params, readout, st, fcfg, "original", 2)):
+        with pytest.raises(ValueError, match="out of range"):
+            eng.extract_streams([2])
+        rows = eng.extract_streams([0])
+        with pytest.raises(ValueError, match="out of range"):
+            eng.install_streams([-1], rows)
+        with pytest.raises(ValueError, match="duplicate"):
+            eng.install_streams(
+                [0, 0],
+                {k: np.repeat(v, 2, axis=0) for k, v in rows.items()}
+                if not isinstance(eng, ContinuousKWS) else
+                eng.extract_streams([0, 1]),
+            )
+        with pytest.raises(ValueError, match="integers"):
+            eng.extract_streams([0.5])
+
 
 def test_sparse_reservoir_resume_and_weight_crc(tmp_path):
     """Block-sparse reservoirs snapshot/restore too, and the weight
