@@ -504,3 +504,54 @@ def test_bench_state_tool_smoke(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     line = r.stdout.strip().splitlines()[-1]
     assert line.startswith("streams=8 ") and "migrate2_ms=" in line, line
+
+
+def test_inspect_state_tool(setup, tmp_path):
+    """tools/inspect_state.py renders the identity header + pool table
+    engine-free, flags corrupt files, and --diff exits 1 on identity
+    mismatches / 0 on identical geometry."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path as _Path
+
+    from lsm_tpu.io.serving_state import save_serving_state
+    from lsm_tpu.models.pool import StreamPool
+
+    params, readout, st, fcfg = setup
+    pool = StreamPool(ContinuousKWS(params, readout, st, fcfg,
+                                    "original", 2))
+    pool.admit("alice")
+    pool.save(tmp_path / "pool.npz")
+    save_serving_state(
+        tmp_path / "eng.npz",
+        StreamingKWS(params, readout, st, fcfg, "original", 2),
+    )
+    (tmp_path / "junk.npz").write_bytes(b"not a zip")
+
+    repo = _Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, str(repo / "tools" / "inspect_state.py"),
+             *args],
+            capture_output=True, text=True, timeout=120, env=env,
+            cwd=tmp_path,
+        )
+
+    r = run("pool.npz", "eng.npz")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "engine:      continuous" in r.stdout
+    assert "session 'alice'" in r.stdout
+    assert "engine:      exact" in r.stdout
+
+    r = run("junk.npz")
+    assert r.returncode == 1 and "INVALID" in r.stdout
+
+    r = run("--diff", "pool.npz", "eng.npz")
+    assert r.returncode == 1 and "meta[engine]" in r.stdout
+    r = run("--diff", "pool.npz", "pool.npz")
+    assert r.returncode == 0 and "identical identity" in r.stdout
