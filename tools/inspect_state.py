@@ -104,6 +104,11 @@ def diff(a: Path, b: Path) -> int:
 
 
 def main() -> None:
+    # Piping into `head` closes stdout early — exit quietly like any
+    # well-behaved unix filter instead of a BrokenPipeError traceback.
+    import signal
+
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     ap = argparse.ArgumentParser(
         description="Inspect serving-state snapshot files (engine-free)."
     )
