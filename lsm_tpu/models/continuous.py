@@ -765,6 +765,14 @@ class ContinuousKWS:
             self.params.n_outputs, "output", stream_idx,
         )
 
+    def swap_readout(self, readout, scaler_state=None) -> None:
+        """Hot readout cutover on the live engine (the recalibration
+        path: fit_continuous_readout on fresh data, then one swap
+        mid-serving; see streaming.swap_readout_on)."""
+        from lsm_tpu.models.streaming import swap_readout_on
+
+        swap_readout_on(self, readout, scaler_state)
+
     def _state_pspec(self):
         """PartitionSpecs for ContinuousState: batch axis sharded along
         data — axis 0 everywhere except `tail`/`segs` (ring-major)."""

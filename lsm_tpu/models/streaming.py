@@ -161,6 +161,57 @@ def expand_active_rows(rows: jnp.ndarray, idx: jnp.ndarray,
     return full.at[idx].set(rows)
 
 
+def swap_readout_on(kws, readout, scaler_state=None) -> None:
+    """Hot readout cutover shared by both serving engines (their
+    `swap_readout` methods): install a new readout (and optionally new
+    scaler moments) on a LIVE engine without touching stream state.
+
+    The jitted steps take the readout/scaler leaves as ARGUMENTS, so the
+    swap costs nothing — no recompile (shapes unchanged), and the next
+    step uses the new weights. This is the hot-recalibration path:
+    fit_ridge / fit_continuous_readout produce a new readout while the
+    streams keep serving, then one swap cuts over mid-stream.
+
+    Shapes/dtypes must match the live readout — a different feature set
+    or class count is a different program; build a new engine and
+    migrate_streams into it instead. The serving-state identity cache is
+    invalidated: snapshots taken after the swap digest the NEW weights,
+    and a pre-swap snapshot no longer validates against this engine (by
+    design — it could not continue bit-exactly under different weights).
+    Multi-host: every process must swap identical values (SPMD, like
+    reset)."""
+    for name, new, cur in (
+        ("w", readout.w, kws.readout.w),
+        ("b", readout.b, kws.readout.b),
+    ) + (
+        () if scaler_state is None else (
+            ("mean", scaler_state.mean, kws.scaler_state.mean),
+            ("scale", scaler_state.scale, kws.scaler_state.scale),
+        )
+    ):
+        if tuple(new.shape) != tuple(cur.shape) or new.dtype != cur.dtype:
+            raise ValueError(
+                f"swap_readout {name}: {new.dtype}{tuple(new.shape)} does "
+                f"not match the live engine's "
+                f"{cur.dtype}{tuple(cur.shape)} — a different feature set "
+                "or class count needs a new engine (+ migrate_streams)"
+            )
+    if kws.mesh is not None:
+        from lsm_tpu.parallel.mesh import replicate_to_mesh
+
+        readout = replicate_to_mesh(readout, kws.mesh)
+        if scaler_state is not None:
+            scaler_state = replicate_to_mesh(scaler_state, kws.mesh)
+    kws.readout = readout
+    if scaler_state is not None:
+        kws.scaler_state = scaler_state
+    # Serving-state identity: the weights CRC is cached per engine
+    # lifetime (serving_state._weights_crc) — drop it so the next
+    # snapshot/migrate digests the swapped weights.
+    if hasattr(kws, "_serving_weights_crc"):
+        del kws._serving_weights_crc
+
+
 def validate_stream_idx(stream_idx, n_streams: int, what: str,
                         unique: bool = False) -> np.ndarray:
     """Host-side validation for row-addressed engine entry points
@@ -511,6 +562,10 @@ class StreamingKWS:
             materialize_stream_output(tot, self.mesh),
             self.params.n_neurons, "full", stream_idx,
         )
+
+    def swap_readout(self, readout, scaler_state=None) -> None:
+        """Hot readout cutover on the live engine (see swap_readout_on)."""
+        swap_readout_on(self, readout, scaler_state)
 
     def step_active(self, rows, active_idx, compact: bool = False):
         """step() with only the ACTIVE streams' audio on the wire: `rows`

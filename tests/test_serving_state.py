@@ -555,3 +555,47 @@ def test_inspect_state_tool(setup, tmp_path):
     assert r.returncode == 1 and "meta[engine]" in r.stdout
     r = run("--diff", "pool.npz", "pool.npz")
     assert r.returncode == 0 and "identical identity" in r.stdout
+
+
+def test_swap_readout_hot_cutover(setup, tmp_path):
+    """swap_readout installs a new readout on a LIVE engine: stream
+    state is untouched (post-swap logits equal an engine that served
+    the same audio with the new readout from the start), the
+    serving-state identity follows the swap (a post-swap snapshot
+    validates against the new weights and rejects the old), and
+    mismatched shapes fail loudly."""
+    params, readout, st, fcfg = setup
+    ro2, _ = _weights(seed=5)
+    chunks = _audio(2, 4, 1600)
+
+    for mk in (
+        lambda ro: ContinuousKWS(params, ro, st, fcfg, "original", 2),
+        lambda ro: StreamingKWS(params, ro, st, fcfg, "original", 2),
+    ):
+        live = mk(readout)
+        ref2 = mk(ro2)                 # same audio, new readout throughout
+        for c in chunks[:2]:
+            live.step(c)
+            ref2.step(c)
+        live.swap_readout(ro2)
+        for c in chunks[2:]:
+            np.testing.assert_array_equal(
+                live.step(c), ref2.step(c),
+                err_msg="post-swap logits diverged from the new-readout "
+                        "reference (stream state was disturbed)",
+            )
+
+        # Identity follows the swap.
+        path = tmp_path / "swapped.npz"
+        save_serving_state(path, live)
+        with pytest.raises(ValueError, match="different model weights"):
+            load_serving_state(path, mk(readout))
+        cont = mk(ro2)
+        load_serving_state(path, cont)
+        extra = _audio(2, 1, 1600, seed=8)[0]
+        np.testing.assert_array_equal(cont.step(extra), ref2.step(extra))
+
+        # Shape mismatch: different class count is a different program.
+        ro_bad, _ = _weights(seed=6, k=7)
+        with pytest.raises(ValueError, match="swap_readout"):
+            live.swap_readout(ro_bad)
