@@ -599,3 +599,28 @@ def test_swap_readout_hot_cutover(setup, tmp_path):
         ro_bad, _ = _weights(seed=6, k=7)
         with pytest.raises(ValueError, match="swap_readout"):
             live.swap_readout(ro_bad)
+
+
+def test_swap_readout_mesh(setup):
+    """swap_readout on a mesh-sharded engine replicates the new readout
+    to the mesh (process-aware placement) and keeps tracking a
+    single-device engine served the same audio."""
+    from lsm_tpu.parallel.mesh import make_mesh
+
+    params, readout, st, fcfg = setup
+    ro2, _ = _weights(seed=5)
+    mesh = make_mesh(n_data=4, n_model=1)
+    chunks = _audio(8, 3, 1600)
+
+    live = ContinuousKWS(params, readout, st, fcfg, "original", 8,
+                         mesh=mesh)
+    ref2 = ContinuousKWS(params, ro2, st, fcfg, "original", 8)
+    for c in chunks[:1]:
+        live.step(c)
+        ref2.step(c)
+    live.swap_readout(ro2)
+    for c in chunks[1:]:
+        np.testing.assert_allclose(
+            live.step(c), ref2.step(c), rtol=1e-5, atol=1e-6,
+            err_msg="mesh post-swap logits diverged",
+        )
