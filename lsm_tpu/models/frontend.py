@@ -40,7 +40,7 @@ def spectrogram_db(audio: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     elif cfg.filterbank == "gammatone":
         # hop_time = len(audio) / (fs * TIME_BINS)  (create_dataset.py:50)
         hop_time = cfg.num_samples / (cfg.sample_rate * cfg.time_bins)
-        fn = _dispatch_gtgram(cfg, audio.shape[-1])
+        fn = _dispatch_gtgram(cfg, audio.shape[-1], hop_time)
         spec = fn(
             audio, cfg.sample_rate, cfg.gt_window_time, hop_time,
             cfg.n_filters, cfg.gt_f_min,
@@ -49,18 +49,18 @@ def spectrogram_db(audio: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     raise ValueError(f"unknown filterbank: {cfg.filterbank!r}")
 
 
-def _dispatch_gtgram(cfg: FrontendConfig, n_samples: int):
+def _dispatch_gtgram(cfg: FrontendConfig, n_samples: int, hop_time: float):
     """Pick the gtgram implementation: on TPU the two-phase Pallas kernel
     (measured 1.2x+ the XLA block-IIR at equal numerics) when the geometry
     is lane-aligned; 'iir-xla' forces the XLA scan; 'fft' the STFT
-    approximation."""
+    approximation. `hop_time` is the caller's — the Pallas-support gate
+    must evaluate the SAME geometry the gtgram call will run."""
     if cfg.gammatone_method == "fft":
         return gt.gtgram_fft
     if cfg.gammatone_method == "iir-xla":
         return gt.gtgram_iir
     if cfg.gammatone_method != "iir":
         raise ValueError(f"unknown gammatone_method: {cfg.gammatone_method!r}")
-    hop_time = cfg.num_samples / (cfg.sample_rate * cfg.time_bins)
     if jax.default_backend() in ("tpu", "axon"):
         from lsm_tpu.ops.pallas import gtgram_kernel as gk
 
@@ -97,6 +97,16 @@ def featurize_batch(audio: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
         audio = decode_ulaw_device(audio)
     elif audio.dtype == jnp.int16:
         audio = audio.astype(jnp.float32) / 32768.0
+    elif not jnp.issubdtype(audio.dtype, jnp.floating):
+        # The wire contract is exactly three formats. Any other integer
+        # dtype (int32 PCM, bool, ...) would sail through the min-max
+        # normalization at the wrong scale and produce plausible-looking
+        # but wrong spikes with no signal — reject at the boundary.
+        raise TypeError(
+            f"featurize_batch audio dtype {audio.dtype} is not part of "
+            "the wire contract (float samples, int16 PCM, or uint8 "
+            "mu-law)"
+        )
     spec_db = spectrogram_db(audio, cfg)
     spec_norm = db_ops.minmax_normalize(spec_db)
     spec_norm = resample.zoom_time_axis(spec_norm, cfg.time_bins)

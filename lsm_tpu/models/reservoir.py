@@ -263,11 +263,6 @@ def _init_reservoir_device(
     )
 
 
-def with_weights(params: ReservoirParams, cfg: ReservoirConfig, mean_weight: float) -> ReservoirParams:
-    """Re-init with a calibrated mean weight (same seed => same topology)."""
-    return init_reservoir(cfg, params.n_channels, mean_weight=mean_weight)
-
-
 def init_output_stats(B: int, no: int, n_win: int) -> Dict[str, jnp.ndarray]:
     """Zero-state for the streaming output-neuron statistics carry.
 

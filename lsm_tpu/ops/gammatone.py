@@ -463,8 +463,9 @@ def gtgram_fft(
     n_fft = 1 << (nwin - 1).bit_length()
     starts = (np.arange(n_cols) * hop)[:, None] + np.arange(nwin)[None, :]
     frames = wave[:, starts]                                   # (B, n_cols, nwin)
-    win = jnp.asarray(hann_window(nwin))
-    win_power = float(np.sum(hann_window(nwin) ** 2))
+    win_np = hann_window(nwin)
+    win = jnp.asarray(win_np)
+    win_power = float(np.sum(win_np ** 2))
     spec = jnp.fft.rfft(frames * win, n=n_fft, axis=-1)
     power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) / win_power
     weights = jnp.asarray(_gammatone_fft_weights(fs, n_fft, channels, f_min))

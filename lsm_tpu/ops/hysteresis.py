@@ -50,34 +50,16 @@ def hysteresis_encode(
     Returns:
       (..., n_filters, T * len(thresholds)) uint8, interleaved layout.
     """
-    thr = np.sort(np.asarray(thresholds, dtype=np.float32))[::-1]  # descending
-    n_thr = len(thr)
-    t_len = spec.shape[-1]
-
-    # Layout: scan along TIME with the filter axis minormost — F is a
-    # multiple of the 128-lane VPU width in practice, while T=100 is not;
-    # scanning along a non-lane-aligned minor axis costs a relayout per
-    # combine pass.
-    xt = jnp.swapaxes(spec, -1, -2)                 # (..., T, F)
-    x = xt[..., None, :, :]                         # (..., 1, T, F)
-    thr_col = jnp.asarray(thr.copy()).reshape(
-        (1,) * (spec.ndim - 2) + (n_thr, 1, 1)
+    # The zero-state special case of hysteresis_encode_step: with
+    # active_0 = False the extension term b | (a0 & c) reduces to b (and
+    # XLA folds the AND-with-zeros away), so ONE scan body serves both
+    # the batch and the streaming encoder — their pinned bit-equality
+    # (tests/test_continuous.py) cannot drift.
+    state = jnp.zeros(
+        spec.shape[:-2] + (len(thresholds), spec.shape[-2]), bool
     )
-    rising = x > thr_col                            # b_t
-    holdable = x >= (thr_col - gap)                 # c_t  (NOT falling)
-
-    # Associative scan along time. Initial state active=False, so the
-    # scanned prefix value b directly equals active_t.
-    b, _ = jax.lax.associative_scan(
-        lambda l, r: _compose(l, r), (rising, holdable), axis=-2
-    )
-    active = b                                       # (..., n_thr, T, F) bool
-
-    # Interleave: output column = time_bin * n_thr + t_idx.
-    # (..., n_thr, T, F) -> (..., F, T, n_thr) -> (..., F, T * n_thr)
-    out = jnp.moveaxis(jnp.moveaxis(active, -1, -3), (-2, -1), (-1, -2))
-    out = out.reshape(out.shape[:-2] + (t_len * n_thr,))
-    return out.astype(jnp.uint8)
+    out, _ = hysteresis_encode_step(spec, state, thresholds, gap)
+    return out
 
 
 def hysteresis_encode_step(
@@ -103,6 +85,12 @@ def hysteresis_encode_step(
       (spikes (..., n_filters, T_chunk * n_thr) uint8 interleaved,
        new_state (..., n_thr, n_filters) bool).
     """
+    if gap < 0:
+        # The associative formulation's holdable_t = (x >= theta - gap)
+        # assumes the OFF level sits AT or BELOW the ON threshold; with a
+        # negative gap it would silently diverge from the sequential
+        # Schmitt semantics (reference create_dataset.py:88-94).
+        raise ValueError(f"hysteresis gap must be >= 0, got {gap}")
     thr = np.sort(np.asarray(thresholds, dtype=np.float32))[::-1]
     n_thr = len(thr)
     t_len = spec.shape[-1]

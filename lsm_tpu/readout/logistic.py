@@ -209,7 +209,23 @@ def fit_ridge_dp(
     xp, yp, wp = _pad_for_mesh(
         np.asarray(x, np.float32), np.asarray(y, np.int32), n_data
     )
-    d = xp.shape[1]
+    fn = _ridge_dp_program(mesh, num_classes, float(alpha))
+    w, b = fn(
+        shard_host_array(xp, mesh),
+        shard_host_array(yp, mesh),
+        shard_host_array(wp, mesh),
+    )
+    return LogisticParams(w=w, b=b)
+
+
+@functools.lru_cache(maxsize=None)
+def _ridge_dp_program(mesh: Mesh, num_classes: int, alpha: float):
+    """The jitted shard_map ridge program, cached per (mesh, classes,
+    alpha): rebuilding jax.jit(shard_map(...)) inside fit_ridge_dp would
+    defeat the trace cache and re-trace (and, through the remote compile
+    service, recompile) on EVERY call — calibration sweeps and the tests
+    call it repeatedly. jit's own shape cache handles varying (n, d)."""
+    from lsm_tpu.parallel.mesh import DATA_AXIS
 
     def local_fit(x_l, y_l, w_l):
         y1 = jax.nn.one_hot(y_l, num_classes, dtype=jnp.float32)
@@ -225,22 +241,16 @@ def fit_ridge_dp(
         # even though centering makes them nonzero.
         xcw = xc * w_l[:, None]
         gram = jax.lax.psum(xcw.T @ xc, DATA_AXIS)
-        gram = gram + alpha * jnp.eye(d, dtype=jnp.float32)
+        gram = gram + alpha * jnp.eye(x_l.shape[1], dtype=jnp.float32)
         xty = jax.lax.psum(xcw.T @ (y1 - y_mean), DATA_AXIS)
         w = jax.scipy.linalg.solve(gram, xty, assume_a="pos")
         b = (y_mean - x_mean @ w)[0]
         return w, b
 
-    fn = jax.jit(shard_map(
+    return jax.jit(shard_map(
         local_fit,
         mesh=mesh,
         in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(), P()),
         check_vma=False,
     ))
-    w, b = fn(
-        shard_host_array(xp, mesh),
-        shard_host_array(yp, mesh),
-        shard_host_array(wp, mesh),
-    )
-    return LogisticParams(w=w, b=b)

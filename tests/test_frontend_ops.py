@@ -143,3 +143,39 @@ def test_featurize_batch_ulaw_wire_matches_device_decode(rng):
     sp_u = np.asarray(featurize_batch(jnp.asarray(wire), cfg))
     sp_f = np.asarray(featurize_batch(jnp.asarray(f32), cfg))
     np.testing.assert_array_equal(sp_u, sp_f)
+
+
+def test_featurize_batch_rejects_foreign_dtypes(rng):
+    """The wire contract is EXACTLY three formats; int32 PCM (or bool)
+    would sail through min-max normalization at the wrong scale and
+    produce plausible-looking wrong spikes — reject at the boundary."""
+    import pytest
+
+    from lsm_tpu.config import FrontendConfig
+    from lsm_tpu.models.frontend import featurize_batch
+
+    cfg = FrontendConfig(n_filters=32)
+    with pytest.raises(TypeError, match="wire contract"):
+        featurize_batch(
+            jnp.asarray(rng.integers(-1000, 1000, (2, 16000)), jnp.int32),
+            cfg,
+        )
+
+
+def test_hysteresis_rejects_negative_gap(rng):
+    """The associative formulation assumes the OFF level sits at/below
+    the ON threshold; a negative gap would silently diverge from the
+    sequential Schmitt oracle, so it must fail loudly."""
+    import pytest
+
+    from lsm_tpu.ops.hysteresis import (
+        hysteresis_encode, hysteresis_encode_step,
+    )
+
+    spec = jnp.asarray(rng.random((8, 100)), jnp.float32)
+    with pytest.raises(ValueError, match="gap must be >= 0"):
+        hysteresis_encode(spec, [0.5, 0.8], -0.1)
+    with pytest.raises(ValueError, match="gap must be >= 0"):
+        hysteresis_encode_step(
+            spec, jnp.zeros((2, 8), bool), [0.5, 0.8], -0.1
+        )
