@@ -65,7 +65,9 @@ def main() -> None:
             # with the same frontend/vocabulary metadata the disk path
             # records — so --streaming-fit works on synthetic datasets.
             from lsm_tpu.config import corpus_meta
-            from lsm_tpu.io.sharded import ShardedSpikeDatasetWriter
+            from lsm_tpu.io.sharded import (
+                ShardedSpikeDataset, ShardedSpikeDatasetWriter,
+            )
 
             writer = ShardedSpikeDatasetWriter(
                 Path(args.sharded_output), args.shard_size,
@@ -74,6 +76,9 @@ def main() -> None:
             )
             writer.append(np.asarray(ds.x_spikes), np.asarray(ds.y_labels))
             writer.close()
+            # The summary below reads journal stats off the handle, same
+            # as the disk-corpus sharded path.
+            ds = ShardedSpikeDataset(Path(args.sharded_output))
         else:
             artifacts.save_spike_dataset(Path(args.output), ds)
     else:
@@ -90,19 +95,32 @@ def main() -> None:
         )
 
     print("\nDataset created successfully.")
-    print(f"  Shape: {ds.x_spikes.shape}")
-    print(f"  Avg spikes per sample: {ds.x_spikes.sum() / len(ds.x_spikes):.1f}")
+    if getattr(args, "sharded_output", None):
+        # Journal stats, NOT ds.x_spikes: materializing the corpus for a
+        # summary line defeats the sharded writer's constant-host-memory
+        # contract at the 100k scale it exists for.
+        n = ds.num_samples
+        shape = (n,) + (ds.row_shape or ())
+        spike_total = ds.total_spikes
+        print(f"  Shape: {shape}")
+    else:
+        n = len(ds.x_spikes)
+        shape = ds.x_spikes.shape
+        spike_total = int(ds.x_spikes.sum())
+        print(f"  Shape: {shape}")
+    if spike_total is not None:
+        print(f"  Avg spikes per sample: {spike_total / max(n, 1):.1f}")
     dest = args.sharded_output if getattr(args, "sharded_output", None) else args.output
     print(f"Saved to '{dest}'")
     if metrics:
         dt = time.perf_counter() - t0
-        n = len(ds.x_spikes)
         metrics.emit("stage1_wall_s", round(dt, 3), stage="create_dataset",
                      utterances=n, utt_per_sec=round(n / max(dt, 1e-9), 1),
                      filterbank=cfg.frontend.filterbank)
-        metrics.emit("avg_spikes_per_sample",
-                     round(float(ds.x_spikes.sum()) / max(n, 1), 2),
-                     stage="create_dataset")
+        if spike_total is not None:
+            metrics.emit("avg_spikes_per_sample",
+                         round(spike_total / max(n, 1), 2),
+                         stage="create_dataset")
         metrics.close()
 
 

@@ -73,6 +73,7 @@ class ShardedSpikeDatasetWriter:
         self._x: List[np.ndarray] = []
         self._y: List[np.ndarray] = []
         self._f: List[np.ndarray] = []
+        self._off = 0              # read offset into the FIRST buffer entry
         self._buffered = 0
         self._shards: List[dict] = []
         self._header_written = False
@@ -164,17 +165,38 @@ class ShardedSpikeDatasetWriter:
         while self._buffered >= self.shard_size:
             self._flush_shard(self.shard_size)
 
-    def _concat(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        x = np.concatenate(self._x, axis=0) if self._x else np.zeros((0,), np.uint8)
-        y = np.concatenate(self._y, axis=0) if self._y else np.zeros((0,), np.int32)
-        f = np.concatenate(self._f, axis=0) if self._f else np.zeros((0,), np.int64)
-        return x, y, f
+    def _take(self, n: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Pop exactly n buffered rows, O(n): consume the buffer list via
+        sliced views + a read offset (same scheme as iter_batches.pop).
+        The previous concatenate-everything-per-flush form copied the full
+        remaining buffer on EVERY shard flush — O(N^2/shard_size) memcpy
+        when a caller appends a large batch at once."""
+        parts_x, parts_y, parts_f = [], [], []
+        need = n
+        while need:
+            x0 = self._x[0]
+            take = min(need, x0.shape[0] - self._off)
+            sl = slice(self._off, self._off + take)
+            parts_x.append(x0[sl])
+            parts_y.append(self._y[0][sl])
+            parts_f.append(self._f[0][sl])
+            need -= take
+            if self._off + take == x0.shape[0]:
+                self._x.pop(0)
+                self._y.pop(0)
+                self._f.pop(0)
+                self._off = 0
+            else:
+                self._off += take
+        self._buffered -= n
+        if len(parts_x) == 1:
+            return parts_x[0], parts_y[0], parts_f[0]
+        return (np.concatenate(parts_x, axis=0),
+                np.concatenate(parts_y, axis=0),
+                np.concatenate(parts_f, axis=0))
 
     def _flush_shard(self, n: int) -> None:
-        x, y, f = self._concat()
-        shard_x, rest_x = x[:n], x[n:]
-        shard_y, rest_y = y[:n], y[n:]
-        shard_f, rest_f = f[:n], f[n:]
+        shard_x, shard_y, shard_f = self._take(n)
         idx = len(self._shards)
         name = f"shard_{idx:05d}.npz"
         save = np.savez_compressed if self.compress else np.savez
@@ -183,6 +205,10 @@ class ShardedSpikeDatasetWriter:
             "file": name,
             "num_samples": int(shard_x.shape[0]),
             "last_file_index": int(shard_f[-1]) if shard_f.shape[0] else -1,
+            # Per-shard stats so consumers (the stage-1 CLI's summary in
+            # particular) never need load_all at corpus scale.
+            "spikes": int(shard_x.sum(dtype=np.int64)),
+            "row_shape": list(shard_x.shape[1:]),
         }
         self._shards.append(entry)
         # The incremental manifest: journal the shard the moment it exists.
@@ -192,10 +218,6 @@ class ShardedSpikeDatasetWriter:
                 self._header_written = True
             jf.write(json.dumps(entry) + "\n")
             jf.flush()
-        self._x = [rest_x] if rest_x.shape[0] else []
-        self._y = [rest_y] if rest_y.shape[0] else []
-        self._f = [rest_f] if rest_f.shape[0] else []
-        self._buffered = int(rest_x.shape[0]) if rest_x.ndim else 0
 
     def close(self) -> dict:
         if self._buffered:
@@ -269,6 +291,43 @@ class ShardedSpikeDataset:
     @property
     def is_partial(self) -> bool:
         return bool(self.manifest.get("partial", False))
+
+    @property
+    def total_spikes(self) -> Optional[int]:
+        """Corpus spike count from the per-shard journal stats; None for
+        datasets written before the stats existed."""
+        shards = self.manifest["shards"]
+        if not shards:
+            return 0
+        if any("spikes" not in s for s in shards):
+            return None
+        return int(sum(s["spikes"] for s in shards))
+
+    @property
+    def row_shape(self) -> Optional[tuple]:
+        """(channels, time) of one spike row, from the journal stats;
+        None for datasets written before the stats existed."""
+        shards = self.manifest["shards"]
+        if shards and "row_shape" in shards[0]:
+            return tuple(shards[0]["row_shape"])
+        return None
+
+    @property
+    def x_spikes(self) -> np.ndarray:
+        """MATERIALIZED spike tensor (cached load_all) — convenience for
+        reference-scale corpora; corpus-scale consumers stream via
+        iter_batches/iter_shards instead."""
+        return self._materialized().x_spikes
+
+    @property
+    def y_labels(self) -> np.ndarray:
+        return self._materialized().y_labels
+
+    def _materialized(self) -> SpikeDataset:
+        cached = getattr(self, "_all", None)
+        if cached is None:
+            cached = self._all = self.load_all()
+        return cached
 
     def _load_shard(self, s: dict) -> SpikeDataset:
         data = np.load(self.root / s["file"])
@@ -387,7 +446,11 @@ class ShardedSpikeDataset:
                 out = np.empty((indices.size,) + rows.shape[1:], rows.dtype)
             out[pos] = rows
         if out is None:
-            return np.zeros((0,), np.float32)
+            # Preserve the rank/dtype contract for the empty selection so
+            # callers' shape arithmetic fails informatively, not with an
+            # IndexError on a rank-1 float array.
+            shape = self.row_shape or (0, 0)
+            return np.zeros((0,) + tuple(shape), np.uint8)
         return out
 
     def load_all(self) -> SpikeDataset:

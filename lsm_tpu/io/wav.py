@@ -39,6 +39,7 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
         raise WavError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = b""
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -46,14 +47,22 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise WavError("missing fmt/data chunk")
     audio_format, channels, rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(data) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1  # PCM subformat is overwhelmingly the case
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # The real format code is the first 2 bytes of the SubFormat GUID
+        # at offset 24 of the fmt body (cbSize-22 extension). Assuming
+        # PCM here would decode an extensible IEEE-float file's bit
+        # patterns as int32 — full-scale noise with no error raised.
+        if len(fmt_body) >= 26:
+            (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
+        else:
+            raise WavError("extensible WAV without a SubFormat GUID")
     if audio_format == 1:  # PCM
         if bits == 16:
             x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0

@@ -213,7 +213,7 @@ def create_spike_dataset(
     shard_size: int = 8192,
     compress: bool = True,
     mesh: MeshArg = "auto",
-) -> artifacts.SpikeDataset:
+):
     """Featurize a Speech Commands-style directory tree into spike trains.
 
     Equivalent of create_dataset.py:107-177, but batched: files are decoded
@@ -222,6 +222,10 @@ def create_spike_dataset(
     incrementally (constant host memory) for 100k-utterance-scale corpora
     (SURVEY.md section 5.4), and an interrupted run resumes from the last
     complete shard.
+
+    Returns artifacts.SpikeDataset (in-memory path) or a LAZY
+    io.sharded.ShardedSpikeDataset handle (sharded path) — same
+    .x_spikes/.y_labels surface, materialized on first access only.
     """
     mesh = _resolve_mesh(mesh)
     idx = dataset.index_speech_commands(
@@ -245,6 +249,11 @@ def create_spike_dataset(
         # changed filterbank) must force a fresh run, not a silent mix.
         h = hashlib.sha256()
         h.update(repr(cfg.frontend).encode())
+        # audio_wire lives on PipelineConfig, not FrontendConfig, but it
+        # IS part of the featurization identity: int16 is bit-exact,
+        # mu-law is lossy (~38 dB SNR) — a resume across a wire switch
+        # would silently mix the two in one dataset.
+        h.update(f"audio_wire={cfg.audio_wire}".encode())
         for p in idx.files:
             h.update(str(p).encode())
             h.update(b"\0")
@@ -336,7 +345,12 @@ def create_spike_dataset(
                  n_total / max(dt, 1e-9))
         from lsm_tpu.io.sharded import ShardedSpikeDataset
 
-        return ShardedSpikeDataset(sharded_output).load_all()
+        # A LAZY handle: .x_spikes/.y_labels materialize on first access
+        # (fine at reference scale), while corpus-scale callers read the
+        # journal stats (num_samples/total_spikes/row_shape) and stream
+        # via iter_batches — the whole point of the sharded writer is that
+        # 100k utterances never sit in host RAM at once.
+        return ShardedSpikeDataset(sharded_output)
 
     if not spikes_out:
         raise RuntimeError("No audio files were successfully processed.")
@@ -540,7 +554,12 @@ def extract_lsm_features(
             # overlaps device compute (async dispatch), no per-batch sync.
             out.append(feats)
             n_reals.append(n_real)
-        host = [np.asarray(f[:n]) for f, n in zip(out, n_reals)]
+        # host_local: multi-process meshes shard the DP output across
+        # non-addressable devices; one all-gather makes it readable.
+        host = [
+            np.asarray(meshlib.host_local(f))[:n]
+            for f, n in zip(out, n_reals)
+        ]
         dt = time.perf_counter() - t0
         log.info("%s: %d samples in %.2fs (%.1f utt/s)",
                  desc, split.shape[0], dt, split.shape[0] / max(dt, 1e-9))
@@ -612,9 +631,9 @@ def train_and_evaluate(
             np.asarray(artifact.x_test, np.float32),
             mesh.shape[meshlib.DATA_AXIS],
         )
-        y_pred = np.asarray(
+        y_pred = np.asarray(meshlib.host_local(
             logistic.predict(params, meshlib.shard_batch(xt, mesh))
-        )[:n_real]
+        ))[:n_real]
         rep = metrics.classification_report(artifact.y_test, y_pred, names)
         log.info("Test Accuracy: %.2f%%", rep.accuracy * 100)
         return TrainResult(
@@ -706,8 +725,11 @@ def classify_spikes_streaming(
             # extract_and_train_streaming) — without it the host stages
             # every remaining batch's H2D buffer at corpus scale.
             preds_dev[-1].block_until_ready()
+    # host_local: the DP predictions are data-axis sharded — on a
+    # multi-process mesh np.asarray on non-addressable shards raises.
     preds_out = [
-        np.asarray(p)[:n] for p, n in zip(preds_dev, n_reals)
+        np.asarray(meshlib.host_local(p))[:n]
+        for p, n in zip(preds_dev, n_reals)
     ]
     dt = time.perf_counter() - t0
     log.info("Classified %d utterances in %.2fs (%.1f utt/s)",

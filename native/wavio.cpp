@@ -78,7 +78,13 @@ bool parse_wav(const std::vector<uint8_t>& raw, WavInfo* info) {
       info->channels = rd_u16(body + 2);
       info->rate = rd_u32(body + 4);
       info->bits = rd_u16(body + 14);
-      if (info->fmt == 0xFFFE) info->fmt = 1;  // EXTENSIBLE: assume PCM
+      if (info->fmt == 0xFFFE) {
+        // EXTENSIBLE: the real format code is the first two bytes of the
+        // SubFormat GUID at offset 24 (cbSize-22 extension). Assuming
+        // PCM would decode extensible IEEE-float files as int32 noise
+        // (mirrors lsm_tpu/io/wav.py decode_wav).
+        info->fmt = size >= 26 ? rd_u16(body + 24) : 0;
+      }
     } else if (std::memcmp(cid, "data", 4) == 0) {
       info->data = body;
       info->data_size = size;

@@ -125,3 +125,60 @@ def test_missing_artifacts_raise(tmp_path):
         artifacts.load_spike_dataset(tmp_path / "nope.npz")
     with pytest.raises(FileNotFoundError):
         artifacts.load_features(tmp_path / "nope.npz")
+
+
+def test_wav_extensible_subformat(tmp_path, rng):
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) must dispatch on the SubFormat
+    GUID's format code: an extensible IEEE-float file decodes as float
+    (assuming PCM would read the float bit patterns as int32 noise), an
+    extensible PCM16 file as PCM, and a GUID-less extensible fmt chunk
+    fails loudly."""
+    import struct
+
+    def extensible_wav(fmt_code, payload, bits):
+        # 40-byte fmt body: standard 16 + cbSize(22) + the extension,
+        # whose last 16 bytes are the SubFormat GUID (format code first).
+        guid = struct.pack("<H", fmt_code) + b"\x00\x00" + b"\x10" * 12
+        fmt_body = struct.pack(
+            "<HHIIHH", 0xFFFE, 1, 16000, 16000 * bits // 8, bits // 8, bits
+        ) + struct.pack("<HHI", 22, bits, 3) + guid
+        return (
+            b"RIFF" + struct.pack("<I", 20 + len(fmt_body) + len(payload))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    audio = (rng.standard_normal(1000) * 0.3).astype(np.float32)
+
+    fl = extensible_wav(3, audio.tobytes(), 32)
+    x, rate = wav.decode_wav(fl)
+    assert rate == 16000
+    np.testing.assert_allclose(x[:, 0], audio, rtol=1e-6)
+
+    pcm = np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
+    pc = extensible_wav(1, pcm.tobytes(), 16)
+    x, _ = wav.decode_wav(pc)
+    np.testing.assert_allclose(x[:, 0], pcm.astype(np.float32) / 32768.0)
+
+    # fmt chunk too short to hold the GUID: loud error, not a PCM guess.
+    short = extensible_wav(1, pcm.tobytes(), 16)
+    # Truncate the fmt body to the bare 16 bytes (rewrite the size field).
+    body16 = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+    short = (
+        b"RIFF" + struct.pack("<I", 20 + 16 + len(pcm.tobytes())) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + body16
+        + b"data" + struct.pack("<I", len(pcm.tobytes())) + pcm.tobytes()
+    )
+    with pytest.raises(wav.WavError, match="SubFormat"):
+        wav.decode_wav(short)
+
+    # The native C++ decoder dispatches identically (float parity).
+    from lsm_tpu.io import native
+
+    if native.available():
+        p = tmp_path / "ext_float.wav"
+        p.write_bytes(fl)
+        batch, kept, errors = native.load_audio_batch([p], 16000, 1.0)
+        assert kept == [0] and not errors
+        np.testing.assert_allclose(batch[0, :1000], audio, rtol=1e-6)
