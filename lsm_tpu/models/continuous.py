@@ -430,8 +430,13 @@ class ContinuousKWS:
             from lsm_tpu.ops.pallas import gtgram_kernel as gk
 
             if gtgram_two_phase is None:
+                # ("tpu", "axon"): same backend-name set as every other
+                # Pallas gate (frontend._dispatch_gtgram, sparse, chunk
+                # kernels) — this one is also part of the serving-state
+                # identity, so the dispatch must not depend on which name
+                # the TPU plugin registered under.
                 gtgram_two_phase = (
-                    jax.default_backend() == "tpu"
+                    jax.default_backend() in ("tpu", "axon")
                     and gk.chunk_supported(chunk_len, g)
                 )
             elif gtgram_two_phase and not gk.chunk_supported(chunk_len, g):
@@ -739,7 +744,14 @@ class ContinuousKWS:
         (B, len(keys) * n_outputs). Used to calibrate readouts on
         continuous-mode feature distributions (tools/bench_continuous.py
         'matched' protocol)."""
-        return np.asarray(self._features(self.state.segs, self.state.win_ring))
+        from lsm_tpu.models.streaming import materialize_stream_output
+
+        # materialize_stream_output: the jit output is data-axis sharded
+        # on a mesh — on multi-process meshes np.asarray on
+        # non-addressable shards raises (same route as diagnostics()).
+        return materialize_stream_output(
+            self._features(self.state.segs, self.state.win_ring), self.mesh
+        )
 
     def diagnostics(self, stream_idx=None):
         """Reservoir health on LIVE serving traffic, from the
@@ -994,8 +1006,9 @@ class ContinuousKWS:
             mask = idx
         else:
             mask[idx] = True
-        m = jnp.asarray(mask)
-        if self.mesh is not None:
+        if self.mesh is None:
+            m = jnp.asarray(mask)
+        else:
             from lsm_tpu.parallel.mesh import shard_host_array
 
             # Full (global) mask, same value on every process (SPMD
@@ -1212,10 +1225,18 @@ def fit_continuous_readout(
     # nearly every stream a SAME-class predecessor and calibrate on a
     # context distribution deployment never sees (advisor r3).
     prev = audio[np.random.default_rng(12345).permutation(n)]
+
+    def _advance(chunk):
+        # State advance only: _step_device leaves the dummy-readout
+        # logits unmaterialized, so calibration skips 2*n_chunks pointless
+        # (n, K) D2H round-trips (~30 ms dispatch floor each through the
+        # relay) that kws.step() would pay just to discard.
+        kws._step_device(kws._place_chunk(kws._normalize_chunk(chunk)))
+
     for c in range(n_chunks):
-        kws.step(prev[:, c * chunk_len:(c + 1) * chunk_len])
+        _advance(prev[:, c * chunk_len:(c + 1) * chunk_len])
     for c in range(n_chunks):
-        kws.step(audio[:, c * chunk_len:(c + 1) * chunk_len])
+        _advance(audio[:, c * chunk_len:(c + 1) * chunk_len])
     feats = jnp.asarray(kws.features())
 
     st = scaler.fit_scaler(feats)

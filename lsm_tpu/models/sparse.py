@@ -341,7 +341,8 @@ def extract_features_sparse(
             simulate_batch_sparse_pallas,
         )
 
-        if pick_b_tile(params, spikes_in.shape[-1], params.w_in.shape[0]):
+        if pick_b_tile(params, spikes_in.shape[-1], params.w_in.shape[0],
+                       batch=spikes_in.shape[0]):
             stats = simulate_batch_sparse_pallas(params, spikes_in)
             return res.features_from_stats(stats, feature_keys)
     stats = simulate_batch_sparse(params, spikes_in, compute_dtype, matmul_dtype)

@@ -192,7 +192,13 @@ def chunk_supported(chunk_len: int, g: int) -> bool:
     corrupt the carried state — so non-multiples fall back to the fused
     XLA chunk scan). The batch axis pads freely inside the wrapper, so
     stream count does NOT affect dispatch: calibration (arbitrary n) and
-    serving (any n) always run the same path on the same backend."""
+    serving (any n) always run the same path on the same backend.
+
+    Channel count deliberately does NOT gate (unlike pallas_supported's
+    perf-motivated channels % 128): verified on the real chip that the
+    chunk kernel compiles and matches the XLA scan at the same tolerance
+    for C in {32, 64, 128, 256} (kernel-vs-scan energy p99 within the
+    documented band at every C)."""
     return chunk_len % g == 0 and (chunk_len // g) % _CHUNK == 0
 
 

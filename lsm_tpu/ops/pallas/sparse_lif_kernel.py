@@ -191,26 +191,41 @@ def _sparse_lif_kernel(
     jax.lax.fori_loop(0, t_total, step, 0)
 
 
-def _vmem_estimate(nb: int, S: int, c_pad: int, t: int, b_t: int, no_pad: int) -> int:
-    return (
+def _vmem_estimate(nb: int, S: int, c_pad: int, t: int, b_t: int,
+                   no_pad: int, grid: int) -> int:
+    """Mosaic PIPELINES grid-varying blocks: with more than one batch
+    tile, every per-tile input/output block is double-buffered, so those
+    terms count twice — the same model the chunk sibling
+    (sparse_lif_chunk_kernel._vmem_estimate) validated against a real
+    'Used 181.77M of 128.00M vmem' compile failure. Weights and scratch
+    are grid-invariant and count once."""
+    mult = 1 if grid <= 1 else 2
+    invariant = (
         nb * S * BLOCK * BLOCK * 2          # w_blocks bf16
         + nb * c_pad * BLOCK * 2            # w_in bf16
-        + t * b_t * c_pad                   # xs uint8
-        + nb * b_t * BLOCK * (4 + 4 + 4)    # v, refrac, all_counts f32
-        + 2 * nb * b_t * BLOCK * 2          # spike double-buffer bf16
+        + 2 * nb * b_t * BLOCK * 2          # spike double-buffer (scratch)
         + b_t * S * BLOCK * 2 + b_t * c_pad * 2
+    )
+    per_tile = (
+        t * b_t * c_pad                     # xs uint8
+        + nb * b_t * BLOCK * (4 + 4 + 4)    # v, refrac, all_counts f32
         + 14 * b_t * no_pad * 4             # stats planes
     )
+    return invariant + mult * per_tile
 
 
 def pick_b_tile(params: SparseReservoirParams, t: int, c_pad: int,
+                batch: Optional[int] = None,
                 vmem_budget: int = 120 * 1024 * 1024) -> Optional[int]:
-    """Largest batch tile in {256, 128} that fits VMEM, else None."""
+    """Largest batch tile in {256, 128} that fits VMEM (including the
+    pipeline double-buffering its grid implies), else None.
+    `batch=None` assumes a multi-tile grid (conservative)."""
     nb = params.n_neurons // BLOCK
     S = params.src_idx.shape[1]
     no_pad = _round_up(min(params.n_outputs, params.n_neurons))
     for b_t in (256, 128):
-        if _vmem_estimate(nb, S, c_pad, t, b_t, no_pad) < vmem_budget:
+        grid = 2 if batch is None else -(-batch // b_t)
+        if _vmem_estimate(nb, S, c_pad, t, b_t, no_pad, grid) < vmem_budget:
             return b_t
     return None
 
@@ -237,7 +252,7 @@ def simulate_batch_sparse_pallas(
     n_win = params.n_rate_windows
     win_len = max(1, T // n_win)
     if b_tile is None:
-        b_tile = pick_b_tile(params, T, c_pad)
+        b_tile = pick_b_tile(params, T, c_pad, batch=B)
         if b_tile is None:
             raise ValueError("sparse reservoir too large for VMEM kernel")
 
