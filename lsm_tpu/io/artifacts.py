@@ -75,7 +75,23 @@ def load_features(path: Path) -> FeatureArtifact:
         raise FileNotFoundError(
             f"Dataset file not found: '{path}'. Run the feature extraction stage first."
         )
-    data = np.load(path, allow_pickle=True)
+    # Pickle-free first (pickle load of an untrusted .npz is arbitrary
+    # code execution; everything WE write is plain arrays). The one
+    # legacy case needing pickle is a REFERENCE-produced artifact whose
+    # leak_variance_divisor=None was saved as an object scalar
+    # (extract_lsm_features.py:203-212) — fall back for those with a
+    # warning, since loading a reference artifact means trusting it.
+    try:
+        data = np.load(path, allow_pickle=False)
+    except ValueError:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "'%s' contains pickled objects (reference-format "
+            "leak_variance_divisor=None); loading with allow_pickle=True "
+            "— only do this for artifacts you trust.", path,
+        )
+        data = np.load(path, allow_pickle=True)
     lvd = data["leak_variance_divisor"]
     lvd_val = None
     try:

@@ -124,7 +124,10 @@ def load_model(path: Path) -> ModelBundle:
     path = Path(path)
     if not path.exists():
         raise FileNotFoundError(f"Model file not found: '{path}'")
-    data = np.load(path, allow_pickle=True)
+    # allow_pickle stays OFF: every member of OUR bundle format is a
+    # plain array or JSON string, and pickle load of an untrusted .npz
+    # is arbitrary code execution.
+    data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["meta"]))
     if meta.get("format") not in _KNOWN_FORMATS:
         raise ValueError(

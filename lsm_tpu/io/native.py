@@ -49,6 +49,9 @@ def _load() -> Optional[ctypes.CDLL]:
             _build_failed = True
             return None
         try:
+            # AttributeError: a stale/foreign prebuilt .so missing a
+            # REQUIRED symbol must mark the build failed and fall back to
+            # the NumPy decoder, not escape available() as a crash.
             lib = ctypes.CDLL(str(_LIB_PATH))
             lib.wavio_decode_batch.restype = ctypes.c_int
             lib.wavio_decode_batch.argtypes = [
@@ -96,7 +99,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 pass
             _lib = lib
             return _lib
-        except OSError:
+        except (OSError, AttributeError):
             _build_failed = True
             return None
 

@@ -41,9 +41,8 @@ from lsm_tpu.parallel.mesh import DATA_AXIS
 from lsm_tpu.readout import logistic, scaler
 
 
-@functools.partial(jax.jit, static_argnames=("fcfg", "keys"), donate_argnums=(0,))
-def _push_chunk(buffer: jax.Array, chunk: jax.Array, fcfg: FrontendConfig, keys) -> jax.Array:
-    del fcfg, keys
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _push_chunk(buffer: jax.Array, chunk: jax.Array) -> jax.Array:
     n = chunk.shape[-1]
     return jnp.concatenate([buffer[:, n:], chunk], axis=-1)
 
@@ -244,6 +243,14 @@ def _validate_active(rows: "np.ndarray", idx: "np.ndarray",
             f"step_active needs rows (k, chunk_len) + idx (k,); got "
             f"rows {rows.shape}, idx {idx.shape}"
         )
+    if idx.size and not np.issubdtype(idx.dtype, np.integer):
+        # A float index array would silently TRUNCATE to the wrong slots
+        # (someone else's stream ingests the audio) — same loud-failure
+        # convention as validate_stream_idx. (An EMPTY idx list arrives
+        # as float64 from np.asarray([]) and is harmless.)
+        raise ValueError(
+            f"active idx must be integers, got {idx.dtype}"
+        )
     if chunk_len is not None and rows.shape[1] != chunk_len:
         raise ValueError(
             f"active rows are {rows.shape[1]} samples; this engine steps "
@@ -279,8 +286,9 @@ def prepare_active_rows(rows, idx, n_streams: int,
     shard_host_array (plain device_put cannot reach non-addressable
     devices)."""
     rows = np.asarray(rows)
-    idx = np.asarray(idx, np.int64)
+    idx = np.asarray(idx)            # dtype validated BEFORE any cast:
     _validate_active(rows, idx, n_streams, chunk_len, max_len)
+    idx = idx.astype(np.int64)
     k = idx.shape[0]
     bucket = 1
     while bucket < max(k, 1):
@@ -628,9 +636,7 @@ class StreamingKWS:
             from lsm_tpu.ops.ulaw import decode_ulaw_reference
 
             chunk = decode_ulaw_reference(chunk).astype(np.float32) / 32768.0
-        self.buffer = _push_chunk(
-            self.buffer, self._place_chunk(chunk), self.fcfg, self.keys
-        )
+        self.buffer = _push_chunk(self.buffer, self._place_chunk(chunk))
 
     def logits(self) -> np.ndarray:
         """Evaluate the current trailing window. (n_streams, n_classes)."""
@@ -719,7 +725,13 @@ class StreamingKWS:
             else:
                 self.buffer = jnp.zeros(self.buffer.shape, self.buffer.dtype)
         else:
-            self.buffer = self.buffer.at[stream_idx].set(0.0)
+            # Loud validation: XLA's scatter silently DROPS out-of-bounds
+            # updates, so an off-by-one reset would be a no-op and the
+            # recycled slot would keep the previous tenant's trailing
+            # audio (ContinuousKWS.reset raises via its NumPy mask; the
+            # two engines' contracts must match).
+            idx = validate_stream_idx(stream_idx, self.n_streams, "reset")
+            self.buffer = self.buffer.at[jnp.asarray(idx, jnp.int32)].set(0.0)
 
     def snapshot(self) -> dict:
         """Host copy of ALL cross-chunk stream state (here: the sample

@@ -57,15 +57,21 @@ def make_train_step(
         )[:, : params.n_neurons]
         feats = features_from_stats(st, feature_keys)        # (B_local, D)
 
-        # Global standardization moments over the data axis.
+        # Global standardization moments over the data axis: TWO psum
+        # rounds (global mean, then CENTERED second moment) — the
+        # one-pass E[x^2]-mean^2 form catastrophically cancels in f32
+        # for large-mean spike-time features (see scaler.fit_scaler).
+        from lsm_tpu.readout.scaler import fit_scaler_from_moments
+
         b_local = feats.shape[0]
         n_global = jax.lax.psum(jnp.float32(b_local), DATA_AXIS)
-        sum_x = jax.lax.psum(jnp.sum(feats, axis=0), DATA_AXIS)
-        sum_x2 = jax.lax.psum(jnp.sum(feats * feats, axis=0), DATA_AXIS)
-        mean = sum_x / n_global
-        var = jnp.maximum(sum_x2 / n_global - mean * mean, 0.0)
-        scale = jnp.where(var == 0.0, 1.0, jnp.sqrt(var))
-        feats_std = (feats - mean) / scale
+        mean = jax.lax.psum(jnp.sum(feats, axis=0), DATA_AXIS) / n_global
+        dev = feats - mean[None, :]
+        sum_d2 = jax.lax.psum(jnp.sum(dev * dev, axis=0), DATA_AXIS)
+        sc = fit_scaler_from_moments(
+            jnp.zeros_like(mean), sum_d2, n_global, shift=mean
+        )
+        feats_std = (feats - sc.mean) / sc.scale
 
         # Readout gradient step with psum'd gradients (data parallel).
         def loss_fn(wb):
@@ -103,6 +109,13 @@ def make_train_step(
 
     @jax.jit
     def train_step(spikes, labels, readout: ReadoutState):
+        if spikes.shape[1] > c_pad:
+            raise ValueError(
+                f"spike batch has {spikes.shape[1]} channels but the "
+                f"reservoir's input projection takes at most {c_pad} — "
+                "rebuild the reservoir with n_channels matching the "
+                "dataset (incl. redundancy_factor)"
+            )
         if spikes.shape[1] != c_pad:
             spikes = jnp.pad(
                 spikes, ((0, 0), (0, c_pad - spikes.shape[1]), (0, 0))

@@ -84,6 +84,20 @@ def classification_report(
     class_names: Sequence[str],
 ) -> ClassificationReport:
     k = len(class_names)
+    yt = np.asarray(y_true)
+    yp = np.asarray(y_pred)
+    if yt.size:
+        # The one-hot confusion matrix silently DROPS out-of-range
+        # labels, which would inflate accuracy/support over the
+        # survivors (sklearn counts every sample) — a class-list/label
+        # mismatch must fail loudly, not report confidently.
+        for name, arr in (("y_true", yt), ("y_pred", yp)):
+            if arr.min() < 0 or arr.max() >= k:
+                raise ValueError(
+                    f"{name} has labels outside [0, {k}) for "
+                    f"{k} class_names: "
+                    f"{np.unique(arr[(arr < 0) | (arr >= k)])[:4].tolist()}"
+                )
     cm = np.asarray(
         confusion_matrix(jnp.asarray(y_true), jnp.asarray(y_pred), k)
     ).astype(np.float64)

@@ -47,8 +47,10 @@ class RidgeAccumState(NamedTuple):
     shift: (D,) fixed centering point c (first batch's mean).
     gram:  (D, D) sum_i w_i (f_i - c)(f_i - c)^T
     xte:   (D, K) sum_i w_i (f_i - c) e_{y_i}^T
-    s1:    (D,)   sum_i w_i f_i
-    s2:    (D,)   sum_i w_i f_i^2
+    s1:    (D,)   sum_i w_i (f_i - c)   — SHIFTED first moment
+    s2:    (D,)   sum_i w_i (f_i - c)^2 — SHIFTED second moment (the raw
+           E[f^2] - mu^2 form catastrophically cancels in f32 for the
+           large-mean spike-time features; see scaler.fit_scaler)
     cnt:   (K,)   per-class weighted counts
     n:     ()     sum_i w_i
     """
@@ -98,8 +100,8 @@ def update_ridge_accum(
         shift=state.shift,
         gram=state.gram + fcw.T @ fc,
         xte=state.xte + fcw.T @ y1,
-        s1=state.s1 + jnp.sum(f * w[:, None], axis=0),
-        s2=state.s2 + jnp.sum(f * f * w[:, None], axis=0),
+        s1=state.s1 + jnp.sum(fcw, axis=0),
+        s2=state.s2 + jnp.sum(fc * fcw, axis=0),
         cnt=state.cnt + jnp.sum(y1 * w[:, None], axis=0),
         n=state.n + jnp.sum(w),
     )
@@ -121,11 +123,12 @@ def finalize_ridge(
         Z^T Yc = D^{-1} (A - d cnt^T)
         b      = y_mean            (z_mean == 0 kills fit_ridge's x_mean term)
     """
-    mu = state.s1 / state.n
-    var = jnp.maximum(state.s2 / state.n - mu * mu, 0.0)
-    scale = jnp.sqrt(var)
-    scale = jnp.where(scale == 0.0, 1.0, scale)
-    delta = mu - state.shift
+    from lsm_tpu.readout.scaler import fit_scaler_from_moments
+
+    sc = fit_scaler_from_moments(state.s1, state.s2, state.n,
+                                 shift=state.shift)
+    mu, scale = sc.mean, sc.scale
+    delta = state.s1 / state.n            # mu - c, cancellation-free
     gram_c = state.gram - state.n * jnp.outer(delta, delta)
     xte_c = state.xte - jnp.outer(delta, state.cnt)
     d = mu.shape[0]

@@ -20,15 +20,13 @@ import jax.numpy as jnp
 from jax.experimental import checkify
 
 
-def checked(fn: Callable, *static_argnames: str) -> Callable:
+def checked(fn: Callable) -> Callable:
     """Wrap a stage function with float checks; returns (err, out) semantics
-    collapsed into raise-on-error."""
+    collapsed into raise-on-error. The checkify transform is built ONCE —
+    rebuilding it per call would re-trace the checked stage every batch."""
+    f = checkify.checkify(fn, errors=checkify.float_checks)
 
     def wrapper(*args, **kwargs):
-        f = checkify.checkify(
-            lambda *a, **k: fn(*a, **k),
-            errors=checkify.float_checks,
-        )
         err, out = f(*args, **kwargs)
         err.throw()
         return out

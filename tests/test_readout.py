@@ -94,3 +94,54 @@ def test_confusion_matrix_totals(rng):
     assert cm.sum() == 64
     for c in range(5):
         assert cm[c].sum() == (y_true == c).sum()
+
+
+def test_scaler_large_mean_small_variance():
+    """Catastrophic-cancellation regression: spike-time features live at
+    O(100) bin indices; in f32 the one-pass E[x^2]-mean^2 variance gave
+    scale 0.125 for a true std of 0.01 (12x off). The two-pass
+    fit_scaler and the shifted moments path must both track a float64
+    oracle."""
+    import numpy as np
+
+    r = np.random.default_rng(0)
+    x = (390.0 + r.standard_normal((4096, 3)) * 0.01).astype(np.float32)
+    true_std = x.astype(np.float64).std(axis=0)
+
+    st = scaler.fit_scaler(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(st.scale), true_std, rtol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(st.mean), x.astype(np.float64).mean(axis=0), rtol=1e-6
+    )
+
+    # Shifted-moments path (streaming fit / multi-chip train step).
+    c = x[:64].mean(axis=0)
+    d = (x - c).astype(np.float32)
+    st2 = scaler.fit_scaler_from_moments(
+        jnp.asarray(d.sum(axis=0)),
+        jnp.asarray((d * d).sum(axis=0)),
+        jnp.float32(x.shape[0]),
+        shift=jnp.asarray(c),
+    )
+    np.testing.assert_allclose(np.asarray(st2.scale), true_std, rtol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(st2.mean), x.astype(np.float64).mean(axis=0), rtol=1e-6
+    )
+
+
+def test_classification_report_rejects_out_of_range_labels():
+    """OOB labels silently vanish from the one-hot confusion matrix,
+    inflating accuracy over the survivors — must fail loudly instead."""
+    import numpy as np
+    import pytest
+
+    from lsm_tpu.readout.metrics import classification_report
+
+    with pytest.raises(ValueError, match="outside"):
+        classification_report(
+            np.array([0, 1, 2, 2]), np.array([0, 1, 2, 0]), ["a", "b"]
+        )
+    rep = classification_report(
+        np.array([0, 1, 1, 0]), np.array([0, 1, 0, 0]), ["a", "b"]
+    )
+    assert rep.accuracy == 0.75
