@@ -56,8 +56,14 @@ def main() -> None:
     args = parser.parse_args()
 
     from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
+    from lsm_tpu.parallel.mesh import maybe_init_distributed_from_env
 
     honor_jax_platforms_env()
+    maybe_init_distributed_from_env()   # multi-host DCN join, env-gated —
+    # same startup contract as every CLI entry point (cli.common
+    # .setup_logging): without it a bench process in a
+    # LSM_TPU_COORDINATOR launch would see only local chips (wrong
+    # per-chip rates) while its peers hang in the first collective.
     enable_compile_cache()   # setup compiles are untimed; warm runs timed
 
     import jax
@@ -137,14 +143,17 @@ def main() -> None:
     # --- the timed end-to-end inference path -------------------------------
     # Returns a SCALAR (the correct-prediction count): pulling it to host
     # forces the whole computation and cannot return early under the relay.
+    # Weights ride as jit ARGUMENTS (CLAUDE.md: closed-over weight arrays
+    # become HLO literal constants — per-trace uploads to the remote
+    # compile service, and a large reservoir would overflow it).
     @jax.jit
-    def e2e_correct(audio_batch, label_batch):
+    def e2e_correct(p, ro, sc, audio_batch, label_batch):
         spikes = _feat(audio_batch)
-        feats = _extract(params, spikes)
-        preds = logistic.predict(readout, scaler.transform(st, feats))
+        feats = _extract(p, spikes)
+        preds = logistic.predict(ro, scaler.transform(sc, feats))
         return jnp.sum((preds == label_batch).astype(jnp.int32))
 
-    n_correct = int(e2e_correct(audio, labels))  # compile + warmup
+    n_correct = int(e2e_correct(params, readout, st, audio, labels))
     e2e_acc = n_correct / n
 
     # Relay dispatch floor: a trivial jitted scalar dispatch costs the
@@ -164,7 +173,7 @@ def main() -> None:
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        c = int(e2e_correct(audio, labels))      # scalar D2H = the barrier
+        c = int(e2e_correct(params, readout, st, audio, labels))  # scalar D2H = the barrier
         times.append(time.perf_counter() - t0)
         assert c == n_correct
     best = min(times)
@@ -228,7 +237,7 @@ def main() -> None:
                 lab_dev = place(lab_cold)
                 float(_force(batch_dev))
                 t2 = time.perf_counter()
-                int(e2e_correct(batch_dev, lab_dev))
+                int(e2e_correct(params, readout, st, batch_dev, lab_dev))
                 t3 = time.perf_counter()
                 return t1 - t0, t2 - t1, t3 - t2, len(kept), batch.nbytes
 

@@ -39,6 +39,12 @@ def main() -> None:
                         help="Spike dataset: classic .npz or sharded dir.")
     parser.add_argument("--output", type=str, default="predictions.npz")
     parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--samples-per-class", type=int, default=0,
+                        help="Cap WAVs per class dir under --data-dir "
+                             "(0 = no cap, the default: inference scores "
+                             "EVERY file; the training-time 1000 cap is a "
+                             "dataset-build convention, not an inference "
+                             "one).")
     parser.add_argument("--single-device", action="store_true")
     parser.add_argument("--audio-wire", type=str, default="int16",
                         choices=["int16", "ulaw"],
@@ -74,6 +80,11 @@ def main() -> None:
         commands=bundle.class_names,
         batch_size=args.batch_size,
         audio_wire=args.audio_wire,
+        # Inference scores EVERY file by default: the training-time 1000
+        # cap is a dataset-build convention; silently truncating a
+        # production directory would drop utterances with no signal.
+        max_samples_per_class=(args.samples_per_class
+                               or 1_000_000_000),
     )
 
     if args.data_dir is not None:

@@ -53,8 +53,13 @@ def main() -> None:
           f"filters: {cfg.frontend.n_filters}")
 
     if args.synthetic:
+        n_per = min(args.samples_per_class, 200)
+        if n_per < args.samples_per_class:
+            print(f"note: --synthetic caps --samples-per-class at 200 "
+                  f"(requested {args.samples_per_class}) — the synthetic "
+                  "corpus is a smoke/bench fixture, not a dataset.")
         audio, labels = dataset.synthetic_audio_batch(
-            n_per_class=min(args.samples_per_class, 200),
+            n_per_class=n_per,
             n_classes=len(cfg.commands),
         )
         spikes = featurize_audio_array(cfg, audio, mesh=mesh)
@@ -114,8 +119,13 @@ def main() -> None:
     print(f"Saved to '{dest}'")
     if metrics:
         dt = time.perf_counter() - t0
+        # Resumed sharded runs: n counts the whole corpus (incl. shards a
+        # previous run wrote); the rate divides only what THIS invocation
+        # featurized, or it would report a ~10x bogus speedup.
+        n_run = getattr(ds, "featurized_this_run", n)
         metrics.emit("stage1_wall_s", round(dt, 3), stage="create_dataset",
-                     utterances=n, utt_per_sec=round(n / max(dt, 1e-9), 1),
+                     utterances=n,
+                     utt_per_sec=round(n_run / max(dt, 1e-9), 1),
                      filterbank=cfg.frontend.filterbank)
         if spike_total is not None:
             metrics.emit("avg_spikes_per_sample",

@@ -27,8 +27,12 @@ def hann_window(n: int) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def _frame_starts(num_samples: int, n_fft: int, hop: int) -> np.ndarray:
     # center=True: signal is padded by n_fft//2 on both sides; frame f covers
-    # padded[f*hop : f*hop + n_fft]. Number of frames = 1 + num_samples//hop.
-    n_frames = 1 + num_samples // hop
+    # padded[f*hop : f*hop + n_fft]. librosa's frame count is
+    # 1 + (padded_len - n_fft) // hop with padded_len = S + 2*(n_fft//2) —
+    # equal to 1 + S//hop for even n_fft, but one less for odd n_fft
+    # (total pad n_fft - 1), where the simpler form would gather one past
+    # the padded end (JAX clamps silently, diverging from the oracle).
+    n_frames = 1 + (num_samples + 2 * (n_fft // 2) - n_fft) // hop
     return (np.arange(n_frames) * hop).astype(np.int32)
 
 

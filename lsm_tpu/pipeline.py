@@ -350,7 +350,11 @@ def create_spike_dataset(
         # journal stats (num_samples/total_spikes/row_shape) and stream
         # via iter_batches — the whole point of the sharded writer is that
         # 100k utterances never sit in host RAM at once.
-        return ShardedSpikeDataset(sharded_output)
+        handle = ShardedSpikeDataset(sharded_output)
+        # On a RESUMED run num_samples counts previous runs' shards too;
+        # rate metrics must divide only what THIS invocation featurized.
+        handle.featurized_this_run = n_total
+        return handle
 
     if not spikes_out:
         raise RuntimeError("No audio files were successfully processed.")

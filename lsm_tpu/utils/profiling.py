@@ -52,14 +52,27 @@ class Profiler:
         return "\n".join(lines)
 
 
+def _device_fence() -> None:
+    """Wait for all previously-dispatched device work: enqueue a trivial
+    op and block on it — TPU executes one program at a time per device,
+    so the trivial op completes only after everything enqueued before it.
+    (jax.effects_barrier only waits for SIDE-EFFECTING computations and
+    lets pure async dispatches keep running — it is NOT a device sync.)"""
+    (jax.device_put(0.0) + 0).block_until_ready()
+
+
 @contextlib.contextmanager
 def device_timer() -> Iterator[Dict[str, float]]:
-    """Times a block, synchronizing the device before and after."""
+    """Times a block, synchronizing the device before and after.
+
+    Note the CLAUDE.md caveat: through the axon relay, prefer timing a
+    jitted SCALAR reduction pulled to host (tools/profile_stages.py) —
+    this timer's fence adds one dispatch round-trip to the measurement."""
     out: Dict[str, float] = {}
-    (jax.device_put(0.0) + 0).block_until_ready()
+    _device_fence()
     t0 = time.perf_counter()
     yield out
-    jax.effects_barrier()
+    _device_fence()
     out["seconds"] = time.perf_counter() - t0
 
 

@@ -58,8 +58,13 @@ def main() -> None:
         artifacts.SPIKE_DATASET_FILENAME
     )
     if args.synthetic:
+        n_per = min(args.samples_per_class, 200)
+        if n_per < args.samples_per_class:
+            print(f"note: --synthetic caps --samples-per-class at 200 "
+                  f"(requested {args.samples_per_class}) — the synthetic "
+                  "corpus is a smoke/bench fixture, not a dataset.")
         audio, labels = dataset.synthetic_audio_batch(
-            n_per_class=min(args.samples_per_class, 200),
+            n_per_class=n_per,
             n_classes=len(cfg.commands),
         )
         spikes = featurize_audio_array(cfg, audio, mesh=mesh)

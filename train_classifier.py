@@ -7,6 +7,7 @@ backed by an on-device LBFGS multinomial logistic fit.
 """
 
 import argparse
+import sys
 import time
 from pathlib import Path
 
@@ -50,6 +51,19 @@ def main() -> None:
     cfg = build_config(args)
     names = resolve_commands(args)
     n_classes = int(max(art.y_train.max(), art.y_test.max())) + 1
+    if n_classes > len(names):
+        # The reference artifact schema carries no class names, so the CLI
+        # vocabulary must match the one the features were built with: a
+        # smaller vocab would silently train one-hot targets that zero
+        # every out-of-range label (23 dead classes on a v35 artifact
+        # under the v12 default) and only fail AFTER the LBFGS fit.
+        print(
+            f"Error: the feature artifact has {n_classes} classes but the "
+            f"CLI vocabulary has {len(names)} names — re-run with the "
+            "--vocab/--commands the features were built with.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
     metrics = metrics_from_args(args)
     t0 = time.perf_counter()
     result = train_and_evaluate(cfg, art, class_names=names[:n_classes],
