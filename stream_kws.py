@@ -103,6 +103,14 @@ def main() -> None:
                              "write, so a kill mid-checkpoint keeps the "
                              "previous snapshot) — the always-on "
                              "periodic-checkpoint pattern.")
+    parser.add_argument("--check", action="store_true",
+                        help="Debug sanitizer for serving (the stage "
+                             "CLIs' --check, serving edition): validate "
+                             "every hop's decisions are finite and, in "
+                             "compact mode, margins non-negative — a "
+                             "NaN reservoir/readout fails loudly at the "
+                             "hop that produced it instead of shipping "
+                             "garbage decisions.")
     parser.add_argument("--metrics-out", type=str, default=None,
                         help="Append structured JSONL metric records "
                              "(serving rate, wire format, diagnostics "
@@ -306,8 +314,24 @@ def main() -> None:
         if args.compact:
             preds_all, margins = kws.step_compact(wire_chunk)
             preds = preds_all[:n_real]
+            if args.check and not (
+                np.isfinite(margins[:n_real]).all()
+                and (margins[:n_real] >= 0).all()
+            ):
+                raise SystemExit(
+                    f"--check: non-finite or negative decision margin at "
+                    f"chunk {c + 1} — the reservoir or readout produced "
+                    "NaN/Inf on this hop"
+                )
         else:
             logits = kws.step(wire_chunk)
+            if args.check and not np.isfinite(logits[:n_real]).all():
+                bad = int((~np.isfinite(logits[:n_real])).any(axis=-1).sum())
+                raise SystemExit(
+                    f"--check: non-finite logits for {bad} stream(s) at "
+                    f"chunk {c + 1} — the reservoir or readout produced "
+                    "NaN/Inf on this hop"
+                )
             preds = np.argmax(logits[:n_real], axis=-1)
         if args.per_chunk:
             head = " ".join(names[p] for p in preds[:8])

@@ -114,7 +114,7 @@ def test_stream_kws_cli_end_to_end(tmp_path):
     r = _run(
         [str(REPO / "stream_kws.py"), "--model", "m.npz",
          "--data-dir", str(corpus), "--single-device",
-         "--wire", "ulaw", "--output", "ulaw.npz"],
+         "--wire", "ulaw", "--check", "--output", "ulaw.npz"],
         tmp_path,
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -128,7 +128,8 @@ def test_stream_kws_cli_end_to_end(tmp_path):
     r = _run(
         [str(REPO / "stream_kws.py"), "--model", "m.npz",
          "--data-dir", str(corpus), "--single-device",
-         "--wire", "ulaw", "--compact", "--output", "compact.npz"],
+         "--wire", "ulaw", "--compact", "--check",
+         "--output", "compact.npz"],
         tmp_path,
     )
     assert r.returncode == 0, r.stderr[-2000:]
