@@ -213,3 +213,49 @@ def test_step_compact_accepts_wire_formats(rng):
     pf, mf = kws_f.step_compact(decoded)
     np.testing.assert_array_equal(pu, pf)
     np.testing.assert_array_equal(mu, mf)
+
+
+def test_streaming_matches_batch_random_configs(rng):
+    """The exact engine's bit-identity with the batch pipeline must hold
+    across the CONFIG SPACE, not just the pinned defaults: random
+    filterbanks, filter counts, thresholds, gaps, and chunk geometries
+    (uneven chunks included)."""
+    r = np.random.default_rng(123)
+    for trial in range(3):
+        fcfg = FrontendConfig(
+            n_filters=int(r.choice([8, 24, 48])),
+            filterbank=str(r.choice(["gammatone", "mel"])),
+            spike_thresholds=tuple(
+                sorted(r.uniform(0.3, 0.95, size=int(r.integers(2, 5))))
+            ),
+            hysteresis_gap=float(r.uniform(0.02, 0.2)),
+        )
+        rcfg = ReservoirConfig(
+            num_neurons=96, num_output_neurons=48, small_world_k=12,
+            mean_weight=0.04,
+        )
+        params = res.init_reservoir(rcfg, n_channels=fcfg.n_filters)
+        d = 5 * 48
+        ro = logistic.LogisticParams(
+            w=jnp.asarray(r.normal(0, 0.1, (d, 3)).astype(np.float32)),
+            b=jnp.zeros((3,), jnp.float32),
+        )
+        st = scaler.ScalerState(
+            mean=jnp.zeros((d,), jnp.float32),
+            scale=jnp.ones((d,), jnp.float32),
+        )
+        kws = StreamingKWS(params, ro, st, fcfg, "original", 2)
+        audio = (r.standard_normal((2, 16000)) * 0.3).astype(np.float32)
+        # Uneven chunk sizes that tile the window.
+        cuts = [0, 3000, 7000, 8000, 16000]
+        out = None
+        for a, b in zip(cuts, cuts[1:]):
+            out = kws.step(audio[:, a:b])
+
+        spikes = featurize_batch(jnp.asarray(audio), fcfg)
+        feats = res.extract_features_batch(params, spikes, kws.keys)
+        batch_logits = np.asarray(feats @ ro.w + ro.b)
+        np.testing.assert_allclose(
+            out, batch_logits, rtol=1e-4, atol=1e-4,
+            err_msg=f"trial {trial}: {fcfg}",
+        )
