@@ -75,24 +75,26 @@ def load_features(path: Path) -> FeatureArtifact:
         raise FileNotFoundError(
             f"Dataset file not found: '{path}'. Run the feature extraction stage first."
         )
-    # Pickle-free first (pickle load of an untrusted .npz is arbitrary
-    # code execution; everything WE write is plain arrays). The one
-    # legacy case needing pickle is a REFERENCE-produced artifact whose
+    # Pickle-free (pickle load of an untrusted .npz is arbitrary code
+    # execution; everything WE write is plain arrays). The one legacy
+    # case needing pickle is a REFERENCE-produced artifact whose
     # leak_variance_divisor=None was saved as an object scalar
-    # (extract_lsm_features.py:203-212) — fall back for those with a
-    # warning, since loading a reference artifact means trusting it.
+    # (extract_lsm_features.py:203-212); npz members load lazily, so the
+    # ValueError fires at THAT member's access — fall back for it alone,
+    # with a warning (loading a reference artifact means trusting it).
+    data = np.load(path, allow_pickle=False)
     try:
-        data = np.load(path, allow_pickle=False)
+        lvd = data["leak_variance_divisor"]
     except ValueError:
         import logging
 
         logging.getLogger(__name__).warning(
-            "'%s' contains pickled objects (reference-format "
-            "leak_variance_divisor=None); loading with allow_pickle=True "
-            "— only do this for artifacts you trust.", path,
+            "'%s' stores leak_variance_divisor as a pickled object "
+            "(reference-format None); re-reading that member with "
+            "allow_pickle=True — only load artifacts you trust.", path,
         )
-        data = np.load(path, allow_pickle=True)
-    lvd = data["leak_variance_divisor"]
+        with np.load(path, allow_pickle=True) as trusted:
+            lvd = trusted["leak_variance_divisor"]
     lvd_val = None
     try:
         f = float(lvd)

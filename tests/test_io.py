@@ -182,3 +182,26 @@ def test_wav_extensible_subformat(tmp_path, rng):
         batch, kept, errors = native.load_audio_batch([p], 16000, 1.0)
         assert kept == [0] and not errors
         np.testing.assert_allclose(batch[0, :1000], audio, rtol=1e-6)
+
+
+def test_load_features_reference_object_lvd(tmp_path, rng):
+    """A REFERENCE-produced features artifact stores
+    leak_variance_divisor=None as a pickled object scalar
+    (extract_lsm_features.py:203-212): loading must succeed (with the
+    pickle-fallback warning) and yield lvd=None, while our own artifacts
+    load pickle-free."""
+    x = rng.standard_normal((8, 10)).astype(np.float32)
+    y = np.arange(8) % 2
+    p = tmp_path / "ref_features.npz"
+    # Exactly what the reference's np.savez_compressed writes for None.
+    np.savez_compressed(
+        p,
+        X_train_features=x, y_train=y,
+        X_test_features=x, y_test=y,
+        feature_set="original",
+        leak_variance_divisor=None,
+    )
+    art = artifacts.load_features(p)
+    assert art.leak_variance_divisor is None
+    assert art.feature_set == "original"
+    np.testing.assert_array_equal(art.x_train, x)
