@@ -49,6 +49,75 @@ def _to_wire(chunk: np.ndarray, wire: str) -> np.ndarray:
     return chunk
 
 
+def _serve_pool(args, pool, audio, chunk_len, n_chunks, names, metrics,
+                checkpoint):
+    """Session-churn serving loop over a StreamPool: WAV i is session i,
+    admitted FIFO when a slot frees, fed its own chunks at its own pace,
+    finished (slot recycled) after its last chunk. Only the connected
+    sessions' rows cross H2D each hop (step_active under the hood);
+    decisions come from the compact egress. Returns (preds, margins,
+    checkpointed-on-final-hop) with one decision per session — in exact
+    mode bit-equal to the static one-slot-per-file run (per-slot state
+    depends only on that session's own audio since its admit reset;
+    pinned in tests/test_stream_cli.py)."""
+    from collections import deque
+
+    n_sessions = audio.shape[0]
+    queue = deque(range(n_sessions))
+    active: dict = {}  # session id -> next chunk index to feed
+    preds = np.full(n_sessions, -1, np.int32)
+    margins = np.zeros(n_sessions, np.float32)
+    hop = 0
+    ckpt_hop = -1
+    while queue or active:
+        while queue and pool.n_active < pool.capacity:
+            sid = queue.popleft()
+            pool.admit(sid)
+            active[sid] = 0
+            if args.per_chunk:
+                print(f"  hop {hop + 1:4d}: admit session {sid} -> "
+                      f"slot {pool.slot_of(sid)}")
+        sids = sorted(active)
+        rows = _to_wire(np.stack([
+            audio[s, active[s] * chunk_len:(active[s] + 1) * chunk_len]
+            for s in sids
+        ]), args.wire)
+        res = pool.step(dict(zip(sids, rows)))
+        hop += 1
+        if args.check:
+            m = np.asarray([res[s][1] for s in sids], np.float32)
+            if not (np.isfinite(m).all() and (m >= 0).all()):
+                raise SystemExit(
+                    f"--check: non-finite or negative decision margin at "
+                    f"hop {hop} — the reservoir or readout produced "
+                    "NaN/Inf on this hop"
+                )
+        for s in sids:
+            active[s] += 1
+            if active[s] == n_chunks:
+                preds[s], margins[s] = res[s]
+                pool.finish(s)
+                del active[s]
+                if args.per_chunk:
+                    print(f"  hop {hop:4d}: finish session {s} -> "
+                          f"{names[preds[s]]}")
+        if args.save_state_every and hop % args.save_state_every == 0:
+            checkpoint()
+            ckpt_hop = hop
+        if (args.diagnostics_every and pool.n_active
+                and hop % args.diagnostics_every == 0):
+            rep, _ = pool.diagnostics()
+            print(rep.render())
+            if metrics:
+                metrics.emit("serving_participation_pct",
+                             round(rep.avg_participation, 2),
+                             regime=rep.regime, scope=rep.scope, hop=hop)
+    if metrics:
+        metrics.emit("serving_pool_sessions", n_sessions,
+                     slots=pool.capacity, hops=hop)
+    return preds, margins, ckpt_hop == hop
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(
         description="Serve WAVs as parallel keyword-spotting streams."
@@ -82,6 +151,19 @@ def main() -> None:
                              "n_classes x 4. Predictions are bit-equal to "
                              "argmax of the full logits; margins are "
                              "written to the output file.")
+    parser.add_argument("--pool", action="store_true",
+                        help="Session-churn serving (StreamPool, "
+                             "models/pool.py): every WAV is one SESSION, "
+                             "--max-streams is the SLOT capacity, and "
+                             "sessions are admitted FIFO as slots free up "
+                             "— the always-on admit/step/finish lifecycle "
+                             "instead of the static one-file-per-slot "
+                             "replay. Decisions come from the compact "
+                             "egress at each session's last chunk; in "
+                             "exact mode they are bit-equal to the static "
+                             "run's. Continuous-mode sessions start COLD "
+                             "(~1 s warmup by design — real deployments "
+                             "keep sessions long-lived).")
     parser.add_argument("--single-device", action="store_true")
     parser.add_argument("--save-state", type=str, default=None,
                         help="After serving, snapshot ALL cross-chunk "
@@ -169,7 +251,10 @@ def main() -> None:
     from lsm_tpu.parallel import mesh as meshlib
 
     fcfg = bundle.frontend
-    files = sorted(Path(args.data_dir).rglob("*.wav"))[: args.max_streams]
+    # Pool mode serves EVERY file as a session over --max-streams slots;
+    # static mode serves at most --max-streams files, one slot each.
+    all_files = sorted(Path(args.data_dir).rglob("*.wav"))
+    files = all_files if args.pool else all_files[: args.max_streams]
     if not files:
         print(f"Error: no WAVs under '{args.data_dir}'.", file=sys.stderr)
         sys.exit(1)
@@ -182,7 +267,33 @@ def main() -> None:
     n_streams = audio.shape[0]
 
     mesh = None if args.single_device else meshlib.auto_mesh()
-    if mesh is not None:
+    if args.pool:
+        import jax as _j
+
+        if _j.process_count() > 1:
+            # The pool's session table is host state fed by this replay
+            # harness; the multi-host engines expect every process to
+            # feed its own row slice of a static batch — dynamic
+            # admission does not compose with that contract from a
+            # file-replay CLI (the library pool itself is SPMD-callable).
+            print("Error: --pool is single-process only (multi-host "
+                  "serving uses the static per-process row contract).",
+                  file=sys.stderr)
+            sys.exit(1)
+        if args.restore_state:
+            print("Error: --pool replays files as fresh sessions; a "
+                  "restored session table has no files to resume. Use "
+                  "StreamPool.restore from the library for real "
+                  "failover.", file=sys.stderr)
+            sys.exit(1)
+        # Engine width = slot capacity (mesh-padded), independent of the
+        # session count.
+        n_real = n_streams  # sessions
+        n_streams = args.max_streams
+        if mesh is not None:
+            n_data = mesh.shape[meshlib.DATA_AXIS]
+            n_streams = -(-n_streams // n_data) * n_data
+    elif mesh is not None:
         n_data = mesh.shape[meshlib.DATA_AXIS]
         audio, n_real = meshlib.pad_to_multiple(audio, n_data)
         n_streams = audio.shape[0]
@@ -253,9 +364,15 @@ def main() -> None:
     _n_local = meshlib.local_stream_rows(n_streams, mesh)
     _lo = jax.process_index() * _n_local
     _hi = _lo + _n_local
-    print(f"Serving {n_real} streams in {mode} mode "
-          f"({served_ms} ms chunks, {n_chunks} chunks"
-          f"{', mesh x' + str(mesh.shape[meshlib.DATA_AXIS]) if mesh else ''})")
+    if args.pool:
+        print(f"Serving {n_real} sessions over {n_streams} pool slots "
+              f"in {mode} mode ({served_ms} ms chunks, {n_chunks} chunks "
+              f"per session"
+              f"{', mesh x' + str(mesh.shape[meshlib.DATA_AXIS]) if mesh else ''})")
+    else:
+        print(f"Serving {n_real} streams in {mode} mode "
+              f"({served_ms} ms chunks, {n_chunks} chunks"
+              f"{', mesh x' + str(mesh.shape[meshlib.DATA_AXIS]) if mesh else ''})")
     if args.restore_state:
         from lsm_tpu.io.serving_state import load_serving_state
 
@@ -265,7 +382,7 @@ def main() -> None:
             print(f"Error restoring state: {e}", file=sys.stderr)
             sys.exit(1)
         print(f"Stream state restored from '{args.restore_state}'")
-    if mode == "continuous" and not args.restore_state:
+    if mode == "continuous" and not args.restore_state and not args.pool:
         # Continuous mode is calibrated for ALWAYS-ON streams (carried
         # state); a file-per-stream demo starts cold, so pre-roll each
         # stream with another utterance's audio — the same carried-state
@@ -281,6 +398,12 @@ def main() -> None:
         for c in range(n_chunks):
             kws.step(_to_wire(preroll[:, c * chunk_len:(c + 1) * chunk_len],
                               args.wire))
+    pool = None
+    if args.pool:
+        from lsm_tpu.models.pool import StreamPool
+
+        pool = StreamPool(kws, chunk_len=chunk_len)
+
     def _checkpoint() -> None:
         import jax
 
@@ -290,7 +413,11 @@ def main() -> None:
         # process must take it; only process 0 writes (one writer, no
         # N-processes-one-path race). The write is atomic (temp+rename).
         compress = not args.state_no_compress
-        if jax.process_count() > 1:
+        if pool is not None:
+            # Pool checkpoints carry the session table too (StreamPool.
+            # save): a restart resumes slot ownership, not just state.
+            pool.save(Path(args.save_state), compress=compress)
+        elif jax.process_count() > 1:
             snap = kws.snapshot()
             if jax.process_index() == 0:
                 write_snapshot(Path(args.save_state), kws, snap,
@@ -307,7 +434,14 @@ def main() -> None:
     t_serve = _time.perf_counter()
     preds = margins = logits = None
     last_ckpt_chunk = -1
-    for c in range(n_chunks):
+    if args.pool:
+        preds, margins, ckpt_on_last = _serve_pool(
+            args, pool, np.asarray(audio), chunk_len, n_chunks, names,
+            metrics, _checkpoint,
+        )
+        # Reuse the static path's skip-duplicate-final-checkpoint logic.
+        last_ckpt_chunk = n_chunks - 1 if ckpt_on_last else -1
+    for c in range(0 if args.pool else n_chunks):
         wire_chunk = _to_wire(
             audio[_lo:_hi, c * chunk_len:(c + 1) * chunk_len], args.wire
         )

@@ -138,6 +138,42 @@ def test_stream_kws_cli_end_to_end(tmp_path):
     assert cw["margins"].shape == (32,)
     assert np.isfinite(cw["margins"]).all() and (cw["margins"] >= 0).all()
 
+    # Session-churn pool mode: 32 sessions over 8 slots (4 generations of
+    # admit/finish churn), same ulaw wire. Exact-mode per-slot state
+    # depends only on that session's own audio since its admit reset, so
+    # every decision — AND its compact margin — must be bit-equal to the
+    # static one-slot-per-file runs above, whatever slot each session
+    # landed in. Periodic pool checkpoints persist the session table.
+    r = _run(
+        [str(REPO / "stream_kws.py"), "--model", "m.npz",
+         "--data-dir", str(corpus), "--single-device", "--pool",
+         "--max-streams", "8", "--wire", "ulaw", "--check",
+         "--diagnostics-every", "5",
+         "--save-state", "pool_state.npz", "--save-state-every", "7",
+         "--output", "pool.npz"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "32 sessions over 8 pool slots" in r.stdout
+    assert "SERVING RESERVOIR DIAGNOSTICS" in r.stdout
+    pw = np.load(tmp_path / "pool.npz", allow_pickle=False)
+    np.testing.assert_array_equal(pw["predictions"], uw["predictions"])
+    np.testing.assert_array_equal(pw["margins"], cw["margins"])
+    from lsm_tpu.io.serving_state import read_snapshot_meta
+
+    pm = read_snapshot_meta(tmp_path / "pool_state.npz")["pool"]
+    assert sorted(int(i) for i in pm["free"]) == list(range(8))
+    assert pm["sessions"] == []  # every session finished before the save
+    # Guards: pool mode is a fresh-session replay harness.
+    r = _run(
+        [str(REPO / "stream_kws.py"), "--model", "m.npz",
+         "--data-dir", str(corpus), "--single-device", "--pool",
+         "--max-streams", "8", "--restore-state", "pool_state.npz"],
+        tmp_path,
+    )
+    assert r.returncode == 1
+    assert "StreamPool.restore" in r.stderr
+
     # Serving-state checkpoint: snapshot after a continuous run, restore
     # into a fresh server process (replaces the demo pre-roll — streams
     # come up already warm), and the restored run still classifies.
