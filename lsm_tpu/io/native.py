@@ -176,5 +176,23 @@ def load_audio_batch(
             n_threads,
         )
     kept = [i for i in range(n) if ok[i]]
-    errors = [(Path(paths[i]), "decode failed") for i in range(n) if not ok[i]]
+    errors = [
+        (Path(paths[i]), _describe_failure(paths[i]))
+        for i in range(n) if not ok[i]
+    ]
     return out[kept], kept, errors
+
+
+def _describe_failure(path) -> str:
+    """Classify a native decode failure host-side (failed files only):
+    a recognizable FLAC/OGG/MP3/... head gets the loud unsupported-
+    container message instead of a bare 'decode failed'."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+    except OSError as e:
+        return str(e)
+    from lsm_tpu.io.wav import unsupported_container_error
+
+    msg = unsupported_container_error(head)
+    return msg if msg is not None else "decode failed"

@@ -33,10 +33,50 @@ class WavError(ValueError):
     pass
 
 
+def sniff_container(head: bytes) -> Optional[str]:
+    """Identify a known NON-WAV audio container from its magic bytes.
+
+    The reference's `librosa.load` (create_dataset.py:26) transparently
+    decodes FLAC/OGG/MP3/... via soundfile/audioread; this build is
+    RIFF-WAV only (Speech Commands ships 16 kHz PCM WAV), so the load
+    path uses this to turn "not a RIFF/WAVE file" into an actionable
+    unsupported-container error naming the format it saw.
+    """
+    if head[:4] == b"fLaC":
+        return "FLAC"
+    if head[:4] == b"OggS":
+        return "Ogg (Vorbis/Opus/FLAC)"
+    if head[:3] == b"ID3" or (
+        len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0
+    ):
+        return "MP3"
+    if head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
+        return "AIFF"
+    if head[4:8] == b"ftyp":
+        return "MP4/M4A"
+    return None
+
+
+def unsupported_container_error(head: bytes) -> Optional[str]:
+    """Actionable error string for a recognized non-WAV container head,
+    or None if the bytes don't match a known container."""
+    cont = sniff_container(head)
+    if cont is None:
+        return None
+    return (
+        f"unsupported audio container: {cont} — this build decodes "
+        "RIFF-WAV only (Speech Commands is 16 kHz PCM WAV; the "
+        "reference decodes other containers via librosa/soundfile, "
+        "create_dataset.py:26). Convert first, e.g. "
+        "`ffmpeg -i <file> -ar 16000 -ac 1 out.wav`."
+    )
+
+
 def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE byte buffer -> (samples float32 (n, ch), rate)."""
     if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise WavError("not a RIFF/WAVE file")
+        msg = unsupported_container_error(data[:12])
+        raise WavError(msg if msg is not None else "not a RIFF/WAVE file")
     pos = 12
     fmt = None
     fmt_body = b""

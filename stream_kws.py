@@ -109,9 +109,11 @@ def _serve_pool(args, pool, audio, chunk_len, n_chunks, names, metrics,
             rep, _ = pool.diagnostics()
             print(rep.render())
             if metrics:
+                # Same record key as the static path (chunk=) so
+                # --metrics-out consumers see one schema for both modes.
                 metrics.emit("serving_participation_pct",
                              round(rep.avg_participation, 2),
-                             regime=rep.regime, scope=rep.scope, hop=hop)
+                             regime=rep.regime, scope=rep.scope, chunk=hop)
     if metrics:
         metrics.emit("serving_pool_sessions", n_sessions,
                      slots=pool.capacity, hops=hop)
@@ -163,7 +165,13 @@ def main() -> None:
                              "exact mode they are bit-equal to the static "
                              "run's. Continuous-mode sessions start COLD "
                              "(~1 s warmup by design — real deployments "
-                             "keep sessions long-lived).")
+                             "keep sessions long-lived). Memory note: "
+                             "pool mode decodes EVERY WAV under "
+                             "--data-dir into one host f32 array up "
+                             "front (sessions x window samples, ~64 KB "
+                             "per 1 s file) — cap the corpus dir on a "
+                             "low-RAM host; static mode loads at most "
+                             "--max-streams files.")
     parser.add_argument("--single-device", action="store_true")
     parser.add_argument("--save-state", type=str, default=None,
                         help="After serving, snapshot ALL cross-chunk "
@@ -189,10 +197,11 @@ def main() -> None:
                         help="Debug sanitizer for serving (the stage "
                              "CLIs' --check, serving edition): validate "
                              "every hop's decisions are finite and, in "
-                             "compact mode, margins non-negative — a "
-                             "NaN reservoir/readout fails loudly at the "
-                             "hop that produced it instead of shipping "
-                             "garbage decisions.")
+                             "compact and pool modes (which decide via "
+                             "the compact egress), margins non-negative "
+                             "— a NaN reservoir/readout fails loudly at "
+                             "the hop that produced it instead of "
+                             "shipping garbage decisions.")
     parser.add_argument("--metrics-out", type=str, default=None,
                         help="Append structured JSONL metric records "
                              "(serving rate, wire format, diagnostics "
@@ -218,6 +227,12 @@ def main() -> None:
         # compile / pre-roll (minutes through the remote compile service).
         print("Error: --save-state-every needs --save-state <path>.",
               file=sys.stderr)
+        sys.exit(1)
+    if args.max_streams < 1:
+        # Pure-argparse check: a 0-capacity pool would never admit a
+        # session (the serve loop dies in np.stack([]) with an opaque
+        # error) and a 0-stream static engine fails in the engine build.
+        print("Error: --max-streams must be >= 1.", file=sys.stderr)
         sys.exit(1)
     setup_logging()
 

@@ -51,6 +51,39 @@ def test_wav_errors_are_wav_errors():
         wav.decode_wav(b"not a wav file at all........................................")
 
 
+def test_unsupported_container_is_named_loudly(tmp_path):
+    """A recognizable FLAC/OGG/MP3/AIFF/MP4 head must produce the
+    actionable unsupported-container message (naming the format and the
+    ffmpeg fix), not a bare 'not a RIFF/WAVE file' — on BOTH decode
+    paths (NumPy decode_wav and the native batch error accounting)."""
+    heads = {
+        b"fLaC" + bytes(40): "FLAC",
+        b"OggS" + bytes(40): "Ogg",
+        b"ID3\x04" + bytes(40): "MP3",
+        b"\xff\xfb\x90\x00" + bytes(40): "MP3",          # bare MPEG frame
+        b"FORM\x00\x00\x00\x2eAIFF" + bytes(32): "AIFF",
+        b"\x00\x00\x00\x20ftypM4A " + bytes(32): "MP4/M4A",
+    }
+    for head, name in heads.items():
+        with pytest.raises(wav.WavError, match=name):
+            wav.decode_wav(head)
+        with pytest.raises(wav.WavError, match="ffmpeg"):
+            wav.decode_wav(head)
+    # An unrecognized head keeps the generic message.
+    with pytest.raises(wav.WavError, match="not a RIFF/WAVE file"):
+        wav.decode_wav(bytes(44))
+    # Batch loaders collect the same message per file instead of raising.
+    flac = tmp_path / "song.flac"
+    flac.write_bytes(b"fLaC" + bytes(60))
+    for use_native in (False, True):
+        batch, kept, errors = wav.load_audio_batch(
+            [flac], 16000, 1.0, use_native=use_native
+        )
+        assert kept == []
+        assert len(errors) == 1 and "FLAC" in errors[0][1], (
+            use_native, errors)
+
+
 def test_load_audio_batch_pads_and_skips(tmp_path, rng):
     good = tmp_path / "good.wav"
     wav.write_wav(good, rng.standard_normal(8000).astype(np.float32) * 0.1)

@@ -24,6 +24,19 @@ def _run(args, cwd):
     )
 
 
+def test_stream_kws_rejects_nonpositive_max_streams(tmp_path):
+    # Pure-argparse guard: fires before the bundle load, so a 0-slot pool
+    # fails with a clear message instead of an opaque np.stack([]) error
+    # (or an engine-build failure) minutes later.
+    r = _run(
+        [str(REPO / "stream_kws.py"), "--model", "missing.npz",
+         "--data-dir", str(tmp_path), "--pool", "--max-streams", "0"],
+        tmp_path,
+    )
+    assert r.returncode == 1
+    assert "--max-streams must be >= 1" in r.stderr
+
+
 @pytest.mark.slow
 def test_stream_kws_cli_end_to_end(tmp_path):
     from lsm_tpu.io.dataset import write_synthetic_corpus
