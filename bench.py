@@ -11,10 +11,19 @@ ratio of the measured rate to that target.
 Timing methodology (CLAUDE.md): the timed quantity is a jitted SCALAR
 reduction over the predictions pulled to host — `block_until_ready` on a
 large buffer can return early under the TPU relay, a 4-byte scalar D2H
-cannot. Two numbers are reported:
-  - hot path: device-resident audio -> predictions (the headline);
+cannot. Device-only rates come from the AMORTIZED probe: K iterations of
+the pipeline (or K engine steps, via steps_fused) run as ONE lax.scan
+dispatch, so the relay dispatch floor (15-35 ms, drifts with tunnel
+load) is paid once and (wall - floor)/K is reproducible across sessions
+— a single-step floor subtraction is noise whenever the device time is
+a few ms (r4 verdict weak #1). Numbers reported:
+  - hot path: device-resident audio -> predictions (the headline), raw
+    single-dispatch AND amortized device-only;
   - cold path: WAV files on disk -> native C++ decode -> H2D -> predictions
-    (the whole-system number including I/O).
+    (the whole-system number including I/O);
+  - streaming/continuous serving steps (raw + amortized device-only);
+  - scaled configs: 256-filter gammatone (configs[2]) and 10k-neuron
+    block-sparse (configs[3]) rates.
 With more than one device the batch shards over the mesh data axis
 (utt/s/chip then measures scaling efficiency).
 
@@ -53,6 +62,18 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--skip-cold", action="store_true",
                         help="Skip the disk->device cold-path measurement.")
+    parser.add_argument("--amortize-steps", type=int, default=8,
+                        help="K for the amortized device-only rows: K "
+                             "consecutive steps run as ONE dispatch "
+                             "(lax.scan), so the relay floor is paid once "
+                             "and (wall - floor)/K is reproducible across "
+                             "sessions (a single-step floor subtraction "
+                             "is noise when the device time is a few ms).")
+    parser.add_argument("--skip-scaled", action="store_true",
+                        help="Skip the BASELINE configs[2]/[3] rows "
+                             "(256-filter gammatone, 10k block-sparse).")
+    parser.add_argument("--streams", type=int, default=1024,
+                        help="Stream count for the serving rows.")
     args = parser.parse_args()
 
     from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
@@ -179,11 +200,59 @@ def main() -> None:
     best = min(times)
     rate = n / best
     rate_per_chip = rate / n_chips
-    device_rate = n / max(best - floor, 1e-9)
     log(f"e2e hot: {n} utterances in {best:.3f}s = {rate:.1f} utt/s "
         f"({rate_per_chip:.1f}/chip), closed-loop acc={e2e_acc:.3f}, "
         f"times={['%.3f' % t for t in times]}; dispatch floor "
-        f"{floor * 1e3:.1f} ms -> device-only {device_rate:.0f} utt/s")
+        f"{floor * 1e3:.1f} ms")
+
+    # Amortized device-only rate: K full pipelines inside ONE lax.scan
+    # dispatch, so the relay floor is paid once and (wall - floor)/K is a
+    # per-pipeline device time whose floor-drift error shrinks by 1/K —
+    # the r4->r5 fix for device-only rows that swung 2x round-over-round
+    # on an unchanged wall (single-step floor subtraction at a few-ms
+    # residual is below the floor's session drift). The isnan select
+    # never fires (carry is a finite count) so every iteration is
+    # bit-identical to e2e_correct, but the loop-carried dependence
+    # stops XLA hoisting the loop-invariant pipeline out of the scan.
+    K = max(2, args.amortize_steps)
+
+    @jax.jit
+    def e2e_correct_k(p, ro, sc, audio_batch, label_batch):
+        def body(carry, _):
+            a = jnp.where(jnp.isnan(carry), audio_batch + 1.0, audio_batch)
+            spikes = _feat(a)
+            feats = _extract(p, spikes)
+            preds = logistic.predict(ro, scaler.transform(sc, feats))
+            c = jnp.sum((preds == label_batch).astype(jnp.int32))
+            return c.astype(jnp.float32), c
+
+        _, cs = jax.lax.scan(body, jnp.float32(0), None, length=K)
+        return cs
+
+    def _amortized_step_s(run_k, k):
+        """Median amortized per-iteration seconds for a k-iteration
+        one-dispatch program, floor-subtracted once."""
+        run_k()                                    # compile + warmup
+        ts = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            run_k()
+            ts.append(time.perf_counter() - t0)
+        med = sorted(ts)[len(ts) // 2]
+        return (med - floor) / k
+
+    counts = np.asarray(e2e_correct_k(params, readout, st, audio, labels))
+    assert (counts == n_correct).all(), counts   # bit-identical pipelines
+    hot_step_s = _amortized_step_s(
+        lambda: np.asarray(
+            e2e_correct_k(params, readout, st, audio, labels)
+        ),
+        K,
+    )
+    device_rate = n / max(hot_step_s, 1e-9)
+    log(f"e2e hot amortized (K={K} pipelines, one dispatch): "
+        f"{hot_step_s * 1e3:.1f} ms/pipeline -> device-only "
+        f"{device_rate:.0f} utt/s")
 
     # --- cold path: disk -> native decode -> H2D -> predictions ------------
     # Instrumented per phase (decode / H2D / compute) so rounds compare
@@ -297,7 +366,7 @@ def main() -> None:
         from lsm_tpu.models.streaming import StreamingKWS
         from lsm_tpu.readout.scaler import ScalerState
 
-        ns, chunk_len = 1024, 1600
+        ns, chunk_len = args.streams, 1600
         if mesh is not None and ns % n_chips:
             ns = -(-ns // n_chips) * n_chips
         d = train_x.shape[1]
@@ -329,21 +398,26 @@ def main() -> None:
             streaming_extra[f"{name}_chunks_per_sec_per_chip"] = round(
                 ns / med / n_chips, 1
             )
-            # One dispatch per step: subtract the measured relay floor so
-            # sessions compare device rates, not tunnel drift (CLAUDE.md
-            # timing methodology — same as device_only_utt_per_sec). When
-            # the step wall sits AT the floor (sub-0.1 ms residual) the
-            # device time is below the relay's measurement resolution —
-            # report null, not the absurd clamped-denominator rate.
-            dev_t = med - floor
-            streaming_extra[f"{name}_device_only_chunks_per_sec_per_chip"] = (
-                round(ns / dev_t / n_chips, 1) if dev_t >= 1e-4 else None
+            # Device-only rate via the amortized probe: K steps as ONE
+            # lax.scan dispatch (engine.steps_fused, state advance
+            # bit-equal to K step() calls), floor paid once -> the
+            # device step time is reproducible across relay sessions.
+            # The old single-step floor subtraction swung 2x between
+            # rounds on an unchanged wall (VERDICT r4 weak #1). Null if
+            # the amortized step is below measurement resolution.
+            step_s = _amortized_step_s(lambda: kws.steps_fused(chunk, K), K)
+            streaming_extra[f"{name}_step_ms_amortized"] = round(
+                step_s * 1e3, 2
             )
-            dev_s = (f"{ns / dev_t:,.0f}" if dev_t >= 1e-4
+            streaming_extra[f"{name}_device_only_chunks_per_sec_per_chip"] = (
+                round(ns / step_s / n_chips, 1) if step_s >= 1e-4 else None
+            )
+            dev_s = (f"{ns / step_s:,.0f}" if step_s >= 1e-4
                      else "below floor resolution")
             log(f"{name}: {ns} streams, median {med * 1e3:.1f} ms/step "
-                f"-> {ns / med:,.0f} stream-chunks/s "
-                f"(device-only {dev_s})")
+                f"raw -> {ns / med:,.0f} stream-chunks/s; amortized "
+                f"{step_s * 1e3:.2f} ms/step (K={K}, one dispatch) "
+                f"-> device-only {dev_s}")
 
         # Host-ingest serving wall with the production wire format
         # (uint8 mu-law, 1 byte/sample, decoded in the jitted step) —
@@ -391,14 +465,113 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover
         log(f"streaming bench skipped: {exc}")
 
+    # --- scaled configs (BASELINE configs[2] and configs[3]) ---------------
+    # Driver-audited rows for the two scaled configurations so a
+    # regression in the 256-filter frontend or the block-sparse 10k
+    # reservoir is visible in BENCH_r* (previously they existed only as
+    # historical notes in docs/VALIDATION.md). Guarded: a failure here
+    # must not cost the headline metric. Single-device (the scaled TP
+    # mesh paths are exercised by dryrun_multichip / tools/bench_tp.py).
+    scaled_extra = {}
+    if not args.skip_scaled and mesh is None:
+        try:
+            # configs[2]: 256 gammatone filters (the 35-class config's
+            # frontend scale) through the full hot pipeline.
+            n2 = min(n, 1200)
+            fc256 = FrontendConfig(
+                n_filters=256, filterbank="gammatone",
+                gammatone_method=args.gammatone_method,
+            )
+            audio2 = jnp.asarray(audio_np[:n2])
+            labels2 = jnp.asarray(labels_np[:n2])
+            spikes2 = featurize_batch(audio2, fc256)
+            _, mw2 = calibrate_weight(rcfg, spikes2, multiplier=0.6)
+            p2 = res.init_reservoir(rcfg, n_channels=256, mean_weight=mw2)
+            f2 = res.extract_features(p2, spikes2, keys)
+            st2 = scaler.fit_scaler(f2)
+            ro2 = logistic.fit_ridge(
+                scaler.transform(st2, f2), labels2, num_classes=12,
+                alpha=10.0,
+            )
+            K2 = max(2, min(K, 4))
+
+            @jax.jit
+            def gt256_k(p, ro, sc, a_, l_):
+                def body(carry, _):
+                    a = jnp.where(jnp.isnan(carry), a_ + 1.0, a_)
+                    feats = res.extract_features(
+                        p, featurize_batch(a, fc256), keys
+                    )
+                    preds = logistic.predict(ro, scaler.transform(sc, feats))
+                    c = jnp.sum((preds == l_).astype(jnp.int32))
+                    return c.astype(jnp.float32), c
+
+                _, cs = jax.lax.scan(body, jnp.float32(0), None, length=K2)
+                return cs[-1]
+
+            step2 = _amortized_step_s(
+                lambda: float(gt256_k(p2, ro2, st2, audio2, labels2)), K2
+            )
+            scaled_extra["gt256_utt_per_sec"] = round(n2 / step2, 1)
+            log(f"gt256 (configs[2] frontend scale): {n2} utts, amortized "
+                f"{step2 * 1e3:.1f} ms -> {n2 / step2:,.0f} utt/s")
+        except Exception as exc:  # pragma: no cover
+            log(f"gt256 bench skipped: {exc}")
+        try:
+            # configs[3]: 10k-neuron block-sparse reservoir extraction
+            # rate (models/sparse.py + the fused sparse Pallas kernel on
+            # TPU). Spike density matches the calibrated regime (~5%).
+            from lsm_tpu.models.sparse import (
+                extract_features_sparse,
+                init_reservoir_sparse,
+            )
+
+            n10k = -(-10_000 // 128) * 128
+            cfg10k = ReservoirConfig(
+                num_neurons=n10k, num_output_neurons=400,
+                small_world_k=int(0.10 * n10k * 2), mean_weight=0.002,
+            )
+            p10k = init_reservoir_sparse(cfg10k, n_channels=args.n_filters)
+            Bs = 256
+            rng10k = np.random.default_rng(1)
+            spikes10k = jnp.asarray(
+                (rng10k.random((Bs, args.n_filters, 400)) < 0.05).astype(
+                    np.uint8
+                )
+            )
+            K3 = max(2, min(K, 4))
+
+            @jax.jit
+            def sparse10k_k(p, s_):
+                def body(carry, _):
+                    s = jnp.where(jnp.isnan(carry), 1 - s_, s_)
+                    f = extract_features_sparse(p, s, keys)
+                    c = jnp.sum(f, dtype=jnp.float32)
+                    return c, c
+
+                _, cs = jax.lax.scan(body, jnp.float32(0), None, length=K3)
+                return cs[-1]
+
+            step3 = _amortized_step_s(
+                lambda: float(sparse10k_k(p10k, spikes10k)), K3
+            )
+            scaled_extra["sparse10k_utt_per_sec"] = round(Bs / step3, 1)
+            log(f"sparse10k (configs[3], {n10k} neurons): {Bs} utts, "
+                f"amortized {step3 * 1e3:.1f} ms -> {Bs / step3:,.0f} utt/s")
+        except Exception as exc:  # pragma: no cover
+            log(f"sparse10k bench skipped: {exc}")
+
     baseline_rate_per_chip = 2400.0 / 10.0 / 8.0  # north star: 2400 in 10s on 8 chips
     extra = {
         "accuracy_closed_loop": round(e2e_acc, 4),
         "n_devices": n_chips,
         "hot_utt_per_sec_total": round(rate, 2),
         "dispatch_floor_ms": round(floor * 1e3, 1),
+        "amortize_steps": K,
+        "hot_step_ms_amortized": round(hot_step_s * 1e3, 2),
         "device_only_utt_per_sec": round(device_rate, 2),
     }
+    extra.update(scaled_extra)
     if cold_rate is not None:
         extra["cold_utt_per_sec_per_chip"] = round(cold_rate / n_chips, 2)
         extra.update(cold_split)

@@ -38,13 +38,28 @@ def main() -> None:
                              "disk, each train batch folds into on-device "
                              "ridge statistics, and the test rows stream "
                              "through the solved readout — host memory stays "
-                             "flat at any corpus scale (100k+). Trains a "
-                             "closed-form ridge readout (the in-memory LBFGS "
-                             "logistic stays the default path); writes a "
-                             "deployable model bundle via --save-model "
-                             "instead of a features artifact.")
+                             "flat at any corpus scale (100k+). Readout per "
+                             "--readout; writes a deployable model bundle "
+                             "via --save-model instead of a features "
+                             "artifact.")
     parser.add_argument("--ridge-alpha", type=float, default=1.0,
                         help="L2 strength for the --streaming-fit ridge.")
+    parser.add_argument("--readout", type=str, default="ridge",
+                        choices=["ridge", "logistic"],
+                        help="With --streaming-fit: 'ridge' is the "
+                             "closed-form O(D^2)-state fit (no corpus "
+                             "residency anywhere, multi-host capable); "
+                             "'logistic' is the REFERENCE readout "
+                             "(multinomial LBFGS, train_classifier.py:36-41) "
+                             "at corpus scale — streamed features are held "
+                             "in device HBM (~0.8 GB per 100k utts at "
+                             "2000-d), host memory stays flat, and "
+                             "predictions match the in-memory fit on the "
+                             "same split.")
+    parser.add_argument("--l2-c", type=float, default=1.0,
+                        help="With --readout logistic: inverse L2 strength "
+                             "C (the reference LogisticRegression default "
+                             "C=1.0).")
     parser.add_argument("--save-model", type=str, default=None,
                         help="With --streaming-fit: save the trained model "
                              "bundle (reservoir + scaler + readout) here.")
@@ -129,7 +144,7 @@ def _run_streaming_fit(args, cfg) -> None:
     t0 = time.perf_counter()
     result = extract_and_train_streaming(
         cfg, source, class_names=names, alpha=args.ridge_alpha,
-        mesh=mesh_from_args(args),
+        mesh=mesh_from_args(args), readout=args.readout, l2_c=args.l2_c,
     )
     print("\n--- Final Results ---")
     print(f"Test Accuracy: {result.accuracy * 100:.2f}%\n")
@@ -151,7 +166,7 @@ def _run_streaming_fit(args, cfg) -> None:
                      utt_per_sec=round(n / max(dt, 1e-9), 1))
         metrics.emit("w_critico", result.w_critico, stage="extract_features")
         metrics.emit("test_accuracy", result.accuracy,
-                     stage="extract_features", readout="ridge",
+                     stage="extract_features", readout=args.readout,
                      ridge_alpha=args.ridge_alpha)
         metrics.close()
 

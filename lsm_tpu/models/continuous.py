@@ -676,6 +676,21 @@ class ContinuousKWS:
 
         self._step_active = _step_active
 
+        # k fused steps in ONE dispatch (the amortized-timing probe —
+        # same contract as StreamingKWS.steps_fused). The carried state
+        # evolves across iterations, so XLA cannot hoist the body even
+        # though the chunk repeats.
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(7,))
+        def _steps_fused(p, st, chunk, w, b, mean, scale, k):
+            def body(s_, _):
+                s_, logits = _step_full(p, s_, chunk, w, b, mean, scale)
+                return s_, jnp.sum(logits, dtype=jnp.float32)
+
+            st, sums = jax.lax.scan(body, st, None, length=k)
+            return st, sums[-1]
+
+        self._steps_fused = _steps_fused
+
         # Frontend-only entry point (no state donation): used by the
         # bit-level featurizer oracles in tests/test_continuous.py.
         self._featurize = jax.jit(_featurize_chunk)
@@ -915,6 +930,24 @@ class ContinuousKWS:
         from lsm_tpu.models.streaming import stream_pipelined
 
         return stream_pipelined(self, chunks, depth=depth)
+
+    def steps_fused(self, chunk, k: int) -> float:
+        """Run k consecutive step() calls on the SAME ingest chunk as ONE
+        jitted dispatch (a lax.scan over the step body) and return the
+        LAST hop's logit checksum — the amortized-timing probe; see
+        StreamingKWS.steps_fused for the methodology. State advances
+        exactly as k step() calls on that chunk (pinned bit-level in
+        tests/test_continuous.py)."""
+        if isinstance(chunk, jax.Array):
+            dev = chunk
+        else:
+            dev = self._place_chunk(self._normalize_chunk(chunk))
+        self.state, s = self._steps_fused(
+            self.params, self.state, dev,
+            self.readout.w, self.readout.b,
+            self.scaler_state.mean, self.scaler_state.scale, int(k),
+        )
+        return float(s)
 
     def predict(self, chunk: np.ndarray) -> np.ndarray:
         return np.argmax(self.step(chunk), axis=-1)

@@ -514,6 +514,21 @@ class StreamingKWS:
 
         self._step_active = _step_active
 
+        # k fused steps in ONE dispatch (the amortized-timing probe —
+        # see steps_fused). The buffer evolves across iterations, so XLA
+        # cannot hoist the loop body even though the chunk repeats.
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(7,))
+        def _steps_fused(p, buffer, chunk, w, b, mean, scale, k):
+            def body(buf, _):
+                buf, out = _step_body(p, buf, chunk, w, b, mean, scale,
+                                      False)
+                return buf, jnp.sum(out, dtype=jnp.float32)
+
+            buffer, sums = jax.lax.scan(body, buffer, None, length=k)
+            return buffer, sums[-1]
+
+        self._steps_fused = _steps_fused
+
         # Live-traffic diagnostics program (compiled on first
         # diagnostics() call): re-simulate the current trailing windows
         # and reduce FULL-reservoir spike counts to per-stream
@@ -712,6 +727,31 @@ class StreamingKWS:
         serial step() calls but with H2D/dispatch of up to `depth` steps
         in flight (see stream_pipelined)."""
         return stream_pipelined(self, chunks, depth=depth)
+
+    def steps_fused(self, chunk, k: int) -> float:
+        """Run k consecutive step() calls on the SAME ingest chunk as ONE
+        jitted dispatch (a lax.scan over the step body) and return the
+        LAST hop's logit checksum — the scalar D2H barrier.
+
+        This is the amortized-timing probe bench.py uses for its audited
+        device-only rows: a single step's wall through the TPU relay is
+        floor (~15-35 ms, drifts run-to-run) + device time, so a
+        floor-subtracted single-step rate is measurement noise whenever
+        the device time is a few ms. k steps in one dispatch pay ONE
+        floor, making (wall - floor) / k reproducible round-over-round.
+        State advances exactly as k step() calls on that chunk (pinned
+        bit-level in tests/test_streaming.py); the per-hop logits are
+        not returned (use step() for decisions)."""
+        if isinstance(chunk, jax.Array):
+            dev = chunk
+        else:
+            dev = self._place_chunk(self._normalize_chunk(chunk))
+        self.buffer, s = self._steps_fused(
+            self.params, self.buffer, dev,
+            self.readout.w, self.readout.b,
+            self.scaler_state.mean, self.scaler_state.scale, int(k),
+        )
+        return float(s)
 
     def reset(self, stream_idx: Optional[int] = None) -> None:
         if stream_idx is None:

@@ -18,6 +18,7 @@ extract_lsm_features.py:78).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from pathlib import Path
@@ -779,6 +780,9 @@ def extract_and_train_streaming(
     alpha: float = 1.0,
     run_diagnostics: bool = True,
     mesh: MeshArg = "auto",
+    readout: str = "ridge",
+    l2_c: float = 1.0,
+    max_iter: int = 1000,
 ) -> StreamingTrainResult:
     """Fused stage 2+3 over a sharded spike corpus with flat host memory.
 
@@ -798,14 +802,34 @@ def extract_and_train_streaming(
     extract_lsm_features.py:40-44 / here pipeline.extract_lsm_features),
     identical scaler (moments over train rows), and a readout that matches
     fit_ridge on the scaled in-memory matrix to float tolerance
-    (tests/test_streaming_fit.py). The ridge is the documented closed-form
-    alternative to the reference's LBFGS logistic (train_classifier.py:36-41)
-    — the exact LBFGS path stays the default at reference scale.
+    (tests/test_streaming_fit.py).
+
+    readout="ridge" (default): the closed-form shifted-Gram solve — truly
+    O(D^2) state, no corpus residency anywhere. readout="logistic": the
+    REFERENCE readout (multinomial LBFGS, train_classifier.py:36-41) at
+    corpus scale — the streamed feature rows are written into a
+    device-resident (n_train, D) buffer as they are extracted (host RSS
+    stays flat; at 100k x 2000-d features the buffer is 0.8 GB of HBM vs
+    16 GB/chip, so the HBM ceiling is ~2M utterances single-chip) and the
+    exact fit_logistic runs on it — predictions match the in-memory path
+    on the same split (tests/test_streaming_fit.py). l2_c/max_iter mirror
+    fit_logistic; alpha is the ridge L2.
 
     Under a mesh, feature batches shard over the data axis and the
     accumulator updates reduce into replicated state via XLA all-reduces
-    (the streaming analogue of fit_ridge_dp's psums)."""
+    (the streaming analogue of fit_ridge_dp's psums); the logistic buffer
+    shards over the data axis too (single-process meshes — multi-host
+    corpus training uses ridge)."""
     mesh = _resolve_mesh(mesh)
+    if readout not in ("ridge", "logistic"):
+        raise ValueError(f"readout must be 'ridge' or 'logistic', got "
+                         f"{readout!r}")
+    if readout == "logistic" and jax.process_count() > 1:
+        raise ValueError(
+            "streaming readout='logistic' holds the feature buffer on the "
+            "local devices; on a multi-process mesh use readout='ridge' "
+            "(O(D^2) replicated state)"
+        )
     names = list(class_names or cfg.commands)
     k = len(names)
     labels_all = np.asarray(source.labels())
@@ -888,6 +912,28 @@ def extract_and_train_streaming(
         finalize_ridge, init_ridge_accum, update_ridge_accum,
     )
 
+    # readout="logistic": the streamed feature rows also land in a
+    # device-resident (n_slots, D) buffer (dynamic_update_slice with the
+    # buffer donated, so it updates in place — no reallocation per batch).
+    # Host RSS stays flat; the scaler still comes from the streaming
+    # moments (finalize_ridge), exactly as in ridge mode.
+    n_slots = -(-len(idx_tr) // bs) * bs
+    feat_buf = None
+    y_all = np.zeros(n_slots, np.int32)
+    w_all = np.zeros(n_slots, np.float32)
+    buf_sharding = (
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(meshlib.DATA_AXIS, None)
+        )
+        if mesh is not None else None
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _write_rows(buf, rows, off):
+        return jax.lax.dynamic_update_slice(
+            buf, rows.astype(jnp.float32), (off, 0)
+        )
+
     state = None
     n_train = 0
     n_batches = 0
@@ -907,6 +953,18 @@ def extract_and_train_streaming(
         state = update_ridge_accum(
             state, feats, jnp.asarray(ypad), jnp.asarray(wts)
         )
+        if readout == "logistic":
+            if feat_buf is None:
+                d_feat = int(feats.shape[1])
+                mk = jax.jit(
+                    lambda: jnp.zeros((n_slots, d_feat), jnp.float32),
+                    out_shardings=buf_sharding,
+                )
+                feat_buf = mk()
+            off = n_batches * bs
+            feat_buf = _write_rows(feat_buf, feats, jnp.int32(off))
+            y_all[off:off + bs] = ypad
+            w_all[off:off + bs] = wts
         n_train += n_real
         n_batches += 1
         if n_batches % 8 == 0:
@@ -921,8 +979,33 @@ def extract_and_train_streaming(
         raise ValueError("streaming fit: no training rows in corpus")
     readout_params, scaler_state = finalize_ridge(state, alpha=alpha)
     dt = time.perf_counter() - t0
-    log.info("Streaming ridge fit: %d train rows in %.2fs (%.1f utt/s)",
-             n_train, dt, n_train / max(dt, 1e-9))
+    log.info("Streaming %s fit pass: %d train rows in %.2fs (%.1f utt/s)",
+             readout, n_train, dt, n_train / max(dt, 1e-9))
+    if readout == "logistic":
+        # The reference readout (train_classifier.py:36-41) on the
+        # device-resident buffer: standardize in place (buffer donated)
+        # and run the exact LBFGS fit_logistic — the same program the
+        # in-memory path uses, so predictions match it on the same split.
+        t0 = time.perf_counter()
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _standardize(x, mean, scale_):
+            return (x - mean) / scale_
+
+        z = _standardize(feat_buf, scaler_state.mean, scaler_state.scale)
+        feat_buf = None
+        if mesh is None:
+            y_dev = jnp.asarray(y_all)
+            w_dev = jnp.asarray(w_all)
+        else:
+            y_dev = meshlib.shard_host_array(y_all, mesh)
+            w_dev = meshlib.shard_host_array(w_all, mesh)
+        readout_params, iters = logistic.fit_logistic(
+            z, y_dev, k, l2_c=l2_c, max_iter=max_iter, weights=w_dev
+        )
+        del z
+        log.info("Streaming logistic solve: %d LBFGS iters in %.2fs",
+                 int(iters), time.perf_counter() - t0)
 
     preds_dev, n_reals, y_true = [], [], []
     t0 = time.perf_counter()

@@ -423,6 +423,27 @@ def test_continuous_mel_matches_manual_stft_oracle(rng):
     assert agree > 0.999, f"spike agreement {agree}"
 
 
+def test_continuous_steps_fused_matches_k_serial_steps(rng):
+    """steps_fused(chunk, k) — the bench.py amortized-timing probe — must
+    advance EVERY carried state leaf EXACTLY as k step() calls on the
+    same chunk (bit-level: featurizer IIR/hysteresis/norm state, membrane,
+    segs ring, win ring), and return the k-th hop's logit sum."""
+    import jax
+
+    a = _setup(n_streams=2)
+    b = _setup(n_streams=2)
+    chunk = rng.standard_normal((2, a.chunk_len)).astype(np.float32) * 0.2
+    last = None
+    for _ in range(3):
+        last = a.step(chunk)
+    s = b.steps_fused(chunk, 3)
+    for la, lb in zip(jax.tree_util.tree_leaves(a.state),
+                      jax.tree_util.tree_leaves(b.state)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_allclose(s, float(np.sum(last)), rtol=1e-5)
+    np.testing.assert_array_equal(a.step(chunk), b.step(chunk))
+
+
 def test_continuous_pipelined_stream_bit_equal(rng):
     """kws.stream(chunks) yields logits bit-equal to serial step() and
     leaves identical carried state (the pipelined driver only reorders

@@ -76,6 +76,26 @@ def test_streaming_step_fused_matches_push_then_logits(rng):
     )
 
 
+def test_steps_fused_matches_k_serial_steps(rng):
+    """steps_fused(chunk, k) — the bench.py amortized-timing probe — must
+    advance the engine state EXACTLY as k step() calls on the same chunk
+    (bit-level), and its returned checksum must equal the k-th step's
+    logit sum."""
+    a = _setup(n_streams=2)
+    b = _setup(n_streams=2)
+    chunk = rng.standard_normal((2, 1600)).astype(np.float32) * 0.2
+    last = None
+    for _ in range(3):
+        last = a.step(chunk)
+    s = b.steps_fused(chunk, 3)
+    np.testing.assert_array_equal(
+        np.asarray(a.buffer), np.asarray(b.buffer)
+    )
+    np.testing.assert_allclose(s, float(np.sum(last)), rtol=1e-5)
+    # The engines stay interchangeable afterwards.
+    np.testing.assert_array_equal(a.step(chunk), b.step(chunk))
+
+
 def test_streaming_pipelined_stream_bit_equal(rng):
     """kws.stream(chunks) (pipelined H2D/dispatch, depth in flight) yields
     logits bit-equal to serial step() calls, at every depth, including

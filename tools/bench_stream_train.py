@@ -74,6 +74,12 @@ def main() -> None:
     parser.add_argument("--root", type=str, default="/tmp/lsm_stream_train")
     parser.add_argument("--single-device", action="store_true")
     parser.add_argument("--cpu-devices", type=int, default=None)
+    parser.add_argument("--readout", type=str, default="ridge",
+                        choices=["ridge", "logistic"],
+                        help="'logistic' = the reference readout at corpus "
+                             "scale: streamed features live in device HBM "
+                             "(~0.8 GB per 100k at 2000-d); host RSS stays "
+                             "flat either way.")
     args = parser.parse_args()
 
     from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
@@ -131,7 +137,7 @@ def main() -> None:
     mesh = None if args.single_device else "auto"
     t0 = time.perf_counter()
     result = pipeline.extract_and_train_streaming(
-        cfg, source, run_diagnostics=False, mesh=mesh
+        cfg, source, run_diagnostics=False, mesh=mesh, readout=args.readout
     )
     dt = time.perf_counter() - t0
     peak = sampler.mark("train+eval")
