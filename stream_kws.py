@@ -59,9 +59,14 @@ def _serve_pool(args, pool, audio, chunk_len, n_chunks, names, metrics,
     checkpointed-on-final-hop) with one decision per session — in exact
     mode bit-equal to the static one-slot-per-file run (per-slot state
     depends only on that session's own audio since its admit reset;
-    pinned in tests/test_stream_cli.py)."""
+    pinned in tests/test_stream_cli.py). Multi-host: every process runs
+    this identical loop (SPMD collectives under the hood); process 0
+    prints."""
     from collections import deque
 
+    import jax as _jax
+
+    pid0 = _jax.process_index() == 0
     n_sessions = audio.shape[0]
     queue = deque(range(n_sessions))
     active: dict = {}  # session id -> next chunk index to feed
@@ -74,7 +79,7 @@ def _serve_pool(args, pool, audio, chunk_len, n_chunks, names, metrics,
             sid = queue.popleft()
             pool.admit(sid)
             active[sid] = 0
-            if args.per_chunk:
+            if args.per_chunk and pid0:
                 print(f"  hop {hop + 1:4d}: admit session {sid} -> "
                       f"slot {pool.slot_of(sid)}")
         sids = sorted(active)
@@ -98,7 +103,7 @@ def _serve_pool(args, pool, audio, chunk_len, n_chunks, names, metrics,
                 preds[s], margins[s] = res[s]
                 pool.finish(s)
                 del active[s]
-                if args.per_chunk:
+                if args.per_chunk and pid0:
                     print(f"  hop {hop:4d}: finish session {s} -> "
                           f"{names[preds[s]]}")
         if args.save_state_every and hop % args.save_state_every == 0:
@@ -106,8 +111,9 @@ def _serve_pool(args, pool, audio, chunk_len, n_chunks, names, metrics,
             ckpt_hop = hop
         if (args.diagnostics_every and pool.n_active
                 and hop % args.diagnostics_every == 0):
-            rep, _ = pool.diagnostics()
-            print(rep.render())
+            rep, _ = pool.diagnostics()    # collective: every process
+            if pid0:
+                print(rep.render())
             if metrics:
                 # Same record key as the static path (chunk=) so
                 # --metrics-out consumers see one schema for both modes.
@@ -283,18 +289,13 @@ def main() -> None:
 
     mesh = None if args.single_device else meshlib.auto_mesh()
     if args.pool:
-        import jax as _j
-
-        if _j.process_count() > 1:
-            # The pool's session table is host state fed by this replay
-            # harness; the multi-host engines expect every process to
-            # feed its own row slice of a static batch — dynamic
-            # admission does not compose with that contract from a
-            # file-replay CLI (the library pool itself is SPMD-callable).
-            print("Error: --pool is single-process only (multi-host "
-                  "serving uses the static per-process row contract).",
-                  file=sys.stderr)
-            sys.exit(1)
+        # Multi-host pool serving is SPMD: every process runs the SAME
+        # admit/step/finish sequence (the file walk is deterministic and
+        # every process loads the same WAVs), and the pool's device calls
+        # — step_active with GLOBAL replicated rows/idx, masked resets,
+        # migration, snapshot — are the engines' multi-host collectives.
+        # Process 0 owns printing, metrics, and the output file, same as
+        # static mode (pinned in test_multihost.py).
         if args.restore_state:
             print("Error: --pool replays files as fresh sessions; a "
                   "restored session table has no files to resume. Use "

@@ -154,6 +154,57 @@ WORKER = textwrap.dedent(
     # the (B,) results — every process must see the same report.
     diag = kws.diagnostics(stream_idx=np.array([2, 6]))
 
+    # --- Multi-process StreamPool (the session layer is SPMD too) -------
+    # Every process runs the SAME admit/step/drain/save/restore sequence;
+    # the pool's device calls (step_active with global replicated
+    # rows/idx, masked resets, migration, snapshot) are the engines'
+    # multi-host collectives. Decisions must match a single-process pool
+    # on the merged session set (oracle in the main test).
+    from lsm_tpu.models.pool import StreamPool
+    from lsm_tpu.models.streaming import StreamingKWS
+
+    def _mk_eng():
+        return StreamingKWS(
+            res.init_reservoir(ReservoirConfig(
+                num_neurons=128, num_output_neurons=64, small_world_k=16,
+                mean_weight=0.03,
+            ), n_channels=16),
+            ro, sc, fcfg, "original", n_streams=4, mesh=mesh,
+        )
+
+    pool_a = StreamPool(_mk_eng(), chunk_len=1600)
+    pool_b = StreamPool(_mk_eng(), chunk_len=1600)
+    sess = ("s0", "s1", "s2")
+    for s in sess:
+        pool_a.admit(s)
+    pool_audio = (
+        np.random.default_rng(17).standard_normal((3, 3200)) * 0.2
+    ).astype(np.float32)
+    h0 = pool_a.step({s: pool_audio[i, :1600] for i, s in enumerate(sess)})
+    pool_a.drain(["s1"], pool_b)        # cross-engine row migration
+    h1a = pool_a.step({"s0": pool_audio[0, 1600:],
+                       "s2": pool_audio[2, 1600:]})
+    h1b = pool_b.step({"s1": pool_audio[1, 1600:]})
+    # Checkpoint/restore the WHOLE serving unit across the 2 processes:
+    # save() snapshots collectively and writes on process 0 only; the
+    # barrier keeps process 1 from racing the atomic rename.
+    from pathlib import Path as _Path
+
+    ckpt = _Path(sys.argv[1] + ".pool.npz")
+    pool_a.save(ckpt, compress=False)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("pool-ckpt-written")
+    pool_a2 = StreamPool.restore(ckpt, _mk_eng())
+    assert pool_a2.slot_of("s0") == pool_a.slot_of("s0")
+    assert pool_a2.slot_of("s2") == pool_a.slot_of("s2")
+    h2 = pool_a2.step({"s0": pool_audio[0, :1600],
+                       "s2": pool_audio[2, :1600]})
+
+    def _pool_vec(d, ss):
+        return (np.asarray([d[s][0] for s in ss], np.int32),
+                np.asarray([d[s][1] for s in ss], np.float32))
+
     if pid == 0:
         np.savez(
             sys.argv[1],
@@ -169,6 +220,14 @@ WORKER = textwrap.dedent(
             logits_active=np.asarray(logits_active),
             diag_part=diag.participation,
             diag_rate=diag.spikes_per_neuron,
+            pool_h0_p=_pool_vec(h0, sess)[0],
+            pool_h0_m=_pool_vec(h0, sess)[1],
+            pool_h1a_p=_pool_vec(h1a, ("s0", "s2"))[0],
+            pool_h1a_m=_pool_vec(h1a, ("s0", "s2"))[1],
+            pool_h1b_p=_pool_vec(h1b, ("s1",))[0],
+            pool_h1b_m=_pool_vec(h1b, ("s1",))[1],
+            pool_h2_p=_pool_vec(h2, ("s0", "s2"))[0],
+            pool_h2_m=_pool_vec(h2, ("s0", "s2"))[1],
         )
     print(f"worker {pid} done", flush=True)
     """
@@ -335,6 +394,60 @@ def test_two_process_dp_matches_single_process(tmp_path):
         err_msg="serving diagnostics rate diverged across processes",
     )
 
+    # Multi-process StreamPool oracle: the identical admit/step/drain/
+    # checkpoint/restore sequence on single-device pools must produce the
+    # same decisions the 2-process pools did (VERDICT r4 item 4).
+    from lsm_tpu.models.pool import StreamPool
+    from lsm_tpu.models.streaming import StreamingKWS
+
+    def _mk_eng():
+        return StreamingKWS(
+            res.init_reservoir(ReservoirConfig(
+                num_neurons=128, num_output_neurons=64, small_world_k=16,
+                mean_weight=0.03,
+            ), n_channels=16),
+            ro, sc, fcfg, "original", n_streams=4,
+        )
+
+    pool_a = StreamPool(_mk_eng(), chunk_len=1600)
+    pool_b = StreamPool(_mk_eng(), chunk_len=1600)
+    sess = ("s0", "s1", "s2")
+    for s in sess:
+        pool_a.admit(s)
+    pool_audio = (
+        np.random.default_rng(17).standard_normal((3, 3200)) * 0.2
+    ).astype(np.float32)
+    h0 = pool_a.step({s: pool_audio[i, :1600] for i, s in enumerate(sess)})
+    pool_a.drain(["s1"], pool_b)
+    h1a = pool_a.step({"s0": pool_audio[0, 1600:],
+                       "s2": pool_audio[2, 1600:]})
+    h1b = pool_b.step({"s1": pool_audio[1, 1600:]})
+    ckpt = tmp_path / "oracle.pool.npz"
+    pool_a.save(ckpt, compress=False)
+    pool_a2 = StreamPool.restore(ckpt, _mk_eng())
+    h2 = pool_a2.step({"s0": pool_audio[0, :1600],
+                       "s2": pool_audio[2, :1600]})
+
+    def _pool_vec(d, ss):
+        return (np.asarray([d[s][0] for s in ss], np.int32),
+                np.asarray([d[s][1] for s in ss], np.float32))
+
+    for name, (ref_d, ss) in {
+        "pool_h0": (h0, sess),
+        "pool_h1a": (h1a, ("s0", "s2")),
+        "pool_h1b": (h1b, ("s1",)),
+        "pool_h2": (h2, ("s0", "s2")),
+    }.items():
+        p_ref, m_ref = _pool_vec(ref_d, ss)
+        np.testing.assert_array_equal(
+            got[f"{name}_p"], p_ref,
+            err_msg=f"{name} predictions diverged across processes",
+        )
+        np.testing.assert_allclose(
+            got[f"{name}_m"], m_ref, rtol=1e-3, atol=1e-3,
+            err_msg=f"{name} margins diverged across processes",
+        )
+
 
 @pytest.mark.slow
 def test_two_process_serving_cli(tmp_path):
@@ -411,3 +524,25 @@ def test_two_process_serving_cli(tmp_path):
     np.testing.assert_array_equal(multi["predictions"],
                                   single["predictions"])
     np.testing.assert_array_equal(multi["labels"], single["labels"])
+
+    # Session-churn pool mode under the same 2-process grid: 32 sessions
+    # over 8 slots, every process running the identical SPMD admit/step/
+    # finish loop. Exact-mode pool decisions are bit-equal to the static
+    # one-slot-per-file run (per-slot state depends only on the session's
+    # own audio), so multi-process pool == single-process static.
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "stream_kws.py"), "--model",
+             "m.npz", "--data-dir", str(corpus), "--pool",
+             "--max-streams", "8", "--output", "multi_pool.npz"],
+            cwd=tmp_path, env={**env2, "LSM_TPU_PROCESS_ID": str(i)},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=420)[0] for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"pool serving proc {i} failed:\n{logs[i]}"
+    assert "pool slots" in logs[0]
+    mp = np.load(tmp_path / "multi_pool.npz", allow_pickle=False)
+    np.testing.assert_array_equal(mp["predictions"], single["predictions"])
