@@ -937,8 +937,21 @@ def extract_and_train_streaming(
     state = None
     n_train = 0
     n_batches = 0
+    # Phase accounting (host shard iteration vs pack+H2D+dispatch vs
+    # device sync): the attribution that tells corpus-scale users whether
+    # the wall is this host's single core or the device/link, without a
+    # profiler run.
+    t_iter = t_disp = t_sync = 0.0
     t0 = time.perf_counter()
-    for xb, yb in _iter_masked_batches(source, train_mask, bs):
+    it = iter(_iter_masked_batches(source, train_mask, bs))
+    while True:
+        tp = time.perf_counter()
+        nxt = next(it, None)
+        t_iter += time.perf_counter() - tp
+        if nxt is None:
+            break
+        xb, yb = nxt
+        tp = time.perf_counter()
         padded, n_real = _pad_batch(xb, bs)
         ypad, _ = _pad_batch(np.asarray(yb, np.int32), bs)
         wts = np.zeros(bs, np.float32)
@@ -967,6 +980,7 @@ def extract_and_train_streaming(
             w_all[off:off + bs] = wts
         n_train += n_real
         n_batches += 1
+        t_disp += time.perf_counter() - tp
         if n_batches % 8 == 0:
             # Backpressure: without a periodic sync, async dispatch lets the
             # host run arbitrarily far ahead of the (relay-fronted) device,
@@ -974,13 +988,18 @@ def extract_and_train_streaming(
             # multi-GB RSS growth at 100k scale. One sync per 8 batches
             # bounds the queue at ~8 staged batches while still overlapping
             # host shard prep with device compute.
+            tp = time.perf_counter()
             state.n.block_until_ready()
+            t_sync += time.perf_counter() - tp
     if state is None:
         raise ValueError("streaming fit: no training rows in corpus")
     readout_params, scaler_state = finalize_ridge(state, alpha=alpha)
     dt = time.perf_counter() - t0
-    log.info("Streaming %s fit pass: %d train rows in %.2fs (%.1f utt/s)",
-             readout, n_train, dt, n_train / max(dt, 1e-9))
+    log.info("Streaming %s fit pass: %d train rows in %.2fs (%.1f utt/s); "
+             "phases: shard-iter %.1fs, pack+H2D+dispatch %.1fs, "
+             "device-sync %.1fs",
+             readout, n_train, dt, n_train / max(dt, 1e-9),
+             t_iter, t_disp, t_sync)
     if readout == "logistic":
         # The reference readout (train_classifier.py:36-41) on the
         # device-resident buffer: standardize in place (buffer donated)
