@@ -6,10 +6,11 @@ chunk-lookahead normalization, carried membrane) are policed by the
 matched-readout protocol: calibrate the readout on continuous-mode
 features (fit_continuous_readout, carried-state condition), serve
 continuous, compare against the exact batch pipeline on the same frozen
-hard benchmark. High-powered TPU measurement (n_test=1224,
-tools/bench_continuous.py --n-per-class 340, 2026-08-17): matched
-0.8100 vs exact 0.8125 — delta -0.0025 +- 0.0137 SE, i.e. parity
-(docs/SENSITIVITY.md "Continuous-mode knobs").
+hard benchmark. High-powered TPU measurements (n_test=1224,
+tools/bench_continuous.py --n-per-class 340): gammatone matched 0.8100
+vs exact 0.8125 — delta -0.0025 +- 0.0137 SE (2026-08-17); mel matched
+0.7561 vs exact 0.7402 — delta +0.0159 +- 0.0154 SE (2026-08-19). Both
+frontends at parity (docs/SENSITIVITY.md "Continuous-mode knobs").
 
 This CPU-sized replica (n_per_class=20, n_test=48) freezes that
 contract at test scale FOR BOTH FRONTENDS. Measured CPU: gammatone

@@ -82,8 +82,11 @@ def main() -> None:
                              "flat either way.")
     args = parser.parse_args()
 
-    from lsm_tpu.cli.common import enable_compile_cache, honor_jax_platforms_env
+    from lsm_tpu.cli.common import (
+        enable_compile_cache, honor_jax_platforms_env, setup_logging,
+    )
 
+    setup_logging()   # surface the trainer's INFO phase breakdown
     honor_jax_platforms_env()
     if args.cpu_devices:
         from lsm_tpu.cli.common import force_cpu_devices
