@@ -31,6 +31,53 @@ _JOURNAL = "journal.jsonl"
 _FORMAT = "lsm_tpu.sharded_spike_dataset.v1"
 
 
+def _mmap_npz_member(path: Path, member: str) -> Optional[np.ndarray]:
+    """Zero-copy np.memmap view of an UNCOMPRESSED .npz member, or None.
+
+    An .npz is a zip of .npy files; for ZIP_STORED (compress=False)
+    entries the embedded .npy bytes sit contiguously in the container,
+    so the array can be memory-mapped at (local header + npy header)
+    offset instead of copied + CRC-checked through ZipExtFile. Returns
+    None — caller falls back to np.load — for compressed members,
+    Fortran-order arrays, object dtypes, or unexpected container bytes.
+    The view is read-only; consumers copy the rows they keep (mask
+    selection / batch concatenation), so resident file pages stay clean
+    and evictable (no RSS growth that the kernel cannot reclaim)."""
+    import struct
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(path) as zf:
+            try:
+                info = zf.getinfo(member + ".npy")
+            except KeyError:
+                return None
+            if info.compress_type != zipfile.ZIP_STORED:
+                return None
+            header_offset = info.header_offset
+        with open(path, "rb") as f:
+            f.seek(header_offset)
+            hdr = f.read(30)
+            if len(hdr) != 30 or hdr[:4] != b"PK\x03\x04":
+                return None
+            name_len, extra_len = struct.unpack("<HH", hdr[26:30])
+            f.seek(header_offset + 30 + name_len + extra_len)
+            version = np.lib.format.read_magic(f)
+            if version == (1, 0):
+                shape, fortran, dtype = np.lib.format.read_array_header_1_0(f)
+            elif version == (2, 0):
+                shape, fortran, dtype = np.lib.format.read_array_header_2_0(f)
+            else:
+                return None
+            if fortran or dtype.hasobject:
+                return None
+            array_offset = f.tell()
+        return np.memmap(path, dtype=dtype, mode="r", offset=array_offset,
+                         shape=shape)
+    except (OSError, ValueError, zipfile.BadZipFile):
+        return None
+
+
 class ShardedSpikeDatasetWriter:
     """Append batches; each flush writes one shard + one journal line.
 
@@ -330,7 +377,20 @@ class ShardedSpikeDataset:
         return cached
 
     def _load_shard(self, s: dict) -> SpikeDataset:
-        data = np.load(self.root / s["file"])
+        # Uncompressed shards mmap straight out of the zip container:
+        # zipfile's read path copies the whole member through ZipExtFile
+        # AND CRC-checks every byte even for STORED entries — measured as
+        # the dominant host cost of the corpus-scale streaming passes
+        # (docs/VALIDATION.md round-5 note). A memmap view faults in only
+        # the pages actually consumed (gather_rows of 500 calibration
+        # rows over a multi-GB corpus touches ~25 MB), and the batch
+        # assembly copies only the mask-selected rows once.
+        path = self.root / s["file"]
+        x = _mmap_npz_member(path, "X_spikes")
+        y = _mmap_npz_member(path, "y_labels")
+        if x is not None and y is not None:
+            return SpikeDataset(x_spikes=x, y_labels=np.asarray(y))
+        data = np.load(path)
         return SpikeDataset(x_spikes=data["X_spikes"], y_labels=data["y_labels"])
 
     def iter_shards(self, prefetch: bool = False) -> Iterator[SpikeDataset]:

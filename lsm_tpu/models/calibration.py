@@ -11,6 +11,9 @@ device (a single sum over the sharded spike batch — a psum under shard_map).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,13 +23,21 @@ _FALLBACK = 0.007
 _CALIB_SAMPLES = 500
 
 
+@functools.partial(jax.jit, static_argnames=("max_samples",))
+def _calib_spike_sum(spikes: jnp.ndarray, max_samples: int) -> jnp.ndarray:
+    # ONE fused program: eager slice + astype + sum is three dispatches
+    # (each a relay round-trip, and each a separate remote compile on a
+    # cold cache — measured ~6 min total uncached at corpus scale).
+    return jnp.sum(spikes[:max_samples].astype(jnp.float32))
+
+
 def average_input_rate(spikes: jnp.ndarray, max_samples: int = _CALIB_SAMPLES) -> float:
     """Mean spike density over the first <=max_samples spike trains."""
-    subset = spikes[:max_samples]
-    total = float(jnp.sum(subset.astype(jnp.float32)))
-    elements = int(np.prod(subset.shape))
+    n = min(int(spikes.shape[0]), max_samples)
+    elements = int(np.prod((n,) + tuple(spikes.shape[1:])))
     if elements == 0:
         return float("nan")
+    total = float(_calib_spike_sum(jnp.asarray(spikes), max_samples))
     return total / elements
 
 

@@ -108,6 +108,38 @@ def sharded_corpus(cfg, tmp_path_factory):
     return ShardedSpikeDataset(Path(root)), SpikeDataset(spikes, labels)
 
 
+def test_mmap_shard_reader_matches_npload(tmp_path, rng):
+    """Uncompressed shards read via the zero-copy zip memmap
+    (io/sharded._mmap_npz_member) must be byte-identical to np.load on
+    every member; compressed shards fall back to np.load."""
+    from lsm_tpu.io.sharded import _mmap_npz_member
+
+    x = (rng.random((37, 8, 40)) < 0.1).astype(np.uint8)
+    y = rng.integers(0, 5, 37).astype(np.int32)
+    for compress, expect_mmap in ((False, True), (True, False)):
+        root = tmp_path / f"ds_{compress}"
+        w = ShardedSpikeDatasetWriter(root, shard_size=16, compress=compress)
+        w.append(x, y, np.arange(37))
+        w.close()
+        sds = ShardedSpikeDataset(root)
+        off = 0
+        for s in sds.manifest["shards"]:
+            m = _mmap_npz_member(root / s["file"], "X_spikes")
+            assert (m is not None) == expect_mmap, (compress, s["file"])
+            shard = sds._load_shard(s)
+            with np.load(root / s["file"]) as ref:
+                np.testing.assert_array_equal(
+                    np.asarray(shard.x_spikes), ref["X_spikes"]
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(shard.y_labels), ref["y_labels"]
+                )
+            off += s["num_samples"]
+        idx = rng.permutation(37)[:11]
+        np.testing.assert_array_equal(sds.gather_rows(idx), x[idx])
+        np.testing.assert_array_equal(sds.labels(), y)
+
+
 def test_masked_batches_cover_exactly_the_mask(sharded_corpus, rng):
     sds, dense = sharded_corpus
     mask = rng.random(dense.x_spikes.shape[0]) < 0.4
