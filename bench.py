@@ -216,18 +216,26 @@ def main() -> None:
     # stops XLA hoisting the loop-invariant pipeline out of the scan.
     K = max(2, args.amortize_steps)
 
-    @jax.jit
-    def e2e_correct_k(p, ro, sc, audio_batch, label_batch):
-        def body(carry, _):
-            a = jnp.where(jnp.isnan(carry), audio_batch + 1.0, audio_batch)
-            spikes = _feat(a)
-            feats = _extract(p, spikes)
-            preds = logistic.predict(ro, scaler.transform(sc, feats))
-            c = jnp.sum((preds == label_batch).astype(jnp.int32))
-            return c.astype(jnp.float32), c
+    def guarded_scan(body_fn, k):
+        """ONE definition of the amortized-probe scaffolding (the timing
+        methodology is load-bearing — see CLAUDE.md round 5): a jitted
+        k-iteration lax.scan whose body receives the first array argument
+        through a never-taken `isnan(carry)` select — bit-identical
+        inputs every iteration, but a real loop-carried dependence, so
+        XLA cannot hoist the loop-invariant pipeline out of the scan.
+        `body_fn(x_guarded, *rest) -> f32 scalar`; returns all k scalars."""
+        @jax.jit
+        def run(x, *rest):
+            alt = (1 - x) if x.dtype == jnp.uint8 else (x + 1)
 
-        _, cs = jax.lax.scan(body, jnp.float32(0), None, length=K)
-        return cs
+            def body(carry, _):
+                c = body_fn(jnp.where(jnp.isnan(carry), alt, x), *rest)
+                return c.astype(jnp.float32), c
+
+            _, cs = jax.lax.scan(body, jnp.float32(0), None, length=k)
+            return cs
+
+        return run
 
     def _amortized_step_s(run_k, k):
         """Best amortized per-iteration seconds for a k-iteration
@@ -235,27 +243,45 @@ def main() -> None:
         not median: the measured quantity is device time, which host
         scheduling contention on this 1-core VM can only inflate (a
         concurrent process measured +50% on the median while the min
-        held) — same rationale as the floor's own min."""
+        held) — same rationale as the floor's own min. Returns None when
+        the residual is at/below measurement resolution (the CLAUDE.md
+        floor-adjusted-rate rule: report null, never a clamped rate)."""
         run_k()                                    # compile + warmup
         ts = []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
             run_k()
             ts.append(time.perf_counter() - t0)
-        return (min(ts) - floor) / k
+        step = (min(ts) - floor) / k
+        return step if step >= 1e-4 else None
 
-    counts = np.asarray(e2e_correct_k(params, readout, st, audio, labels))
-    assert (counts == n_correct).all(), counts   # bit-identical pipelines
+    def _e2e_count(a, p, ro, sc, label_batch):
+        spikes = _feat(a)
+        feats = _extract(p, spikes)
+        preds = logistic.predict(ro, scaler.transform(sc, feats))
+        return jnp.sum((preds == label_batch).astype(jnp.int32))
+
+    e2e_correct_k = guarded_scan(_e2e_count, K)
+    counts = np.asarray(e2e_correct_k(audio, params, readout, st, labels))
+    if not (counts == n_correct).all():
+        # The scan and the single-shot program are separately compiled
+        # HLO; a near-tie argmax could in principle flip under different
+        # fusion choices. That is measurement-irrelevant — warn, never
+        # abort (the driver contract is ONE JSON line no matter what).
+        log(f"note: amortized-scan counts {counts.tolist()} != "
+            f"single-dispatch {n_correct} (near-tie argmax under "
+            "different XLA fusions); timing is unaffected")
     hot_step_s = _amortized_step_s(
         lambda: np.asarray(
-            e2e_correct_k(params, readout, st, audio, labels)
+            e2e_correct_k(audio, params, readout, st, labels)
         ),
         K,
     )
-    device_rate = n / max(hot_step_s, 1e-9)
+    device_rate = (n / hot_step_s) if hot_step_s else None
     log(f"e2e hot amortized (K={K} pipelines, one dispatch): "
-        f"{hot_step_s * 1e3:.1f} ms/pipeline -> device-only "
-        f"{device_rate:.0f} utt/s")
+        + (f"{hot_step_s * 1e3:.1f} ms/pipeline -> device-only "
+           f"{device_rate:.0f} utt/s" if hot_step_s
+           else "below floor resolution"))
 
     # --- cold path: disk -> native decode -> H2D -> predictions ------------
     # Instrumented per phase (decode / H2D / compute) so rounds compare
@@ -416,13 +442,13 @@ def main() -> None:
             step_s = _amortized_step_s(
                 lambda: kws.steps_fused(chunk, ks), ks
             )
-            streaming_extra[f"{name}_step_ms_amortized"] = round(
-                step_s * 1e3, 2
+            streaming_extra[f"{name}_step_ms_amortized"] = (
+                round(step_s * 1e3, 2) if step_s else None
             )
             streaming_extra[f"{name}_device_only_chunks_per_sec_per_chip"] = (
-                round(ns / step_s / n_chips, 1) if step_s >= 1e-4 else None
+                round(ns / step_s / n_chips, 1) if step_s else None
             )
-            dev_s = (f"{ns / step_s:,.0f}" if step_s >= 1e-4
+            dev_s = (f"{ns / step_s:,.0f}" if step_s
                      else "below floor resolution")
             log(f"{name}: {ns} streams, median {med * 1e3:.1f} ms/step "
                 f"raw -> {ns / med:,.0f} stream-chunks/s; amortized "
@@ -505,26 +531,25 @@ def main() -> None:
             )
             K2 = max(2, min(K, 4))
 
-            @jax.jit
-            def gt256_k(p, ro, sc, a_, l_):
-                def body(carry, _):
-                    a = jnp.where(jnp.isnan(carry), a_ + 1.0, a_)
-                    feats = res.extract_features(
-                        p, featurize_batch(a, fc256), keys
-                    )
-                    preds = logistic.predict(ro, scaler.transform(sc, feats))
-                    c = jnp.sum((preds == l_).astype(jnp.int32))
-                    return c.astype(jnp.float32), c
+            def _gt256_count(a, p, ro, sc, l_):
+                feats = res.extract_features(
+                    p, featurize_batch(a, fc256), keys
+                )
+                preds = logistic.predict(ro, scaler.transform(sc, feats))
+                return jnp.sum((preds == l_).astype(jnp.int32))
 
-                _, cs = jax.lax.scan(body, jnp.float32(0), None, length=K2)
-                return cs[-1]
-
+            gt256_k = guarded_scan(_gt256_count, K2)
             step2 = _amortized_step_s(
-                lambda: float(gt256_k(p2, ro2, st2, audio2, labels2)), K2
+                lambda: np.asarray(gt256_k(audio2, p2, ro2, st2, labels2)),
+                K2,
             )
-            scaled_extra["gt256_utt_per_sec"] = round(n2 / step2, 1)
-            log(f"gt256 (configs[2] frontend scale): {n2} utts, amortized "
-                f"{step2 * 1e3:.1f} ms -> {n2 / step2:,.0f} utt/s")
+            scaled_extra["gt256_utt_per_sec"] = (
+                round(n2 / step2, 1) if step2 else None
+            )
+            log(f"gt256 (configs[2] frontend scale): {n2} utts, "
+                + (f"amortized {step2 * 1e3:.1f} ms -> "
+                   f"{n2 / step2:,.0f} utt/s" if step2
+                   else "below floor resolution"))
         except Exception as exc:  # pragma: no cover
             log(f"gt256 bench skipped: {exc}")
         try:
@@ -551,23 +576,21 @@ def main() -> None:
             )
             K3 = max(2, min(K, 4))
 
-            @jax.jit
-            def sparse10k_k(p, s_):
-                def body(carry, _):
-                    s = jnp.where(jnp.isnan(carry), 1 - s_, s_)
-                    f = extract_features_sparse(p, s, keys)
-                    c = jnp.sum(f, dtype=jnp.float32)
-                    return c, c
+            def _sparse_sum(s, p):
+                return jnp.sum(extract_features_sparse(p, s, keys),
+                               dtype=jnp.float32)
 
-                _, cs = jax.lax.scan(body, jnp.float32(0), None, length=K3)
-                return cs[-1]
-
+            sparse10k_k = guarded_scan(_sparse_sum, K3)
             step3 = _amortized_step_s(
-                lambda: float(sparse10k_k(p10k, spikes10k)), K3
+                lambda: np.asarray(sparse10k_k(spikes10k, p10k)), K3
             )
-            scaled_extra["sparse10k_utt_per_sec"] = round(Bs / step3, 1)
+            scaled_extra["sparse10k_utt_per_sec"] = (
+                round(Bs / step3, 1) if step3 else None
+            )
             log(f"sparse10k (configs[3], {n10k} neurons): {Bs} utts, "
-                f"amortized {step3 * 1e3:.1f} ms -> {Bs / step3:,.0f} utt/s")
+                + (f"amortized {step3 * 1e3:.1f} ms -> "
+                   f"{Bs / step3:,.0f} utt/s" if step3
+                   else "below floor resolution"))
         except Exception as exc:  # pragma: no cover
             log(f"sparse10k bench skipped: {exc}")
 
@@ -578,8 +601,12 @@ def main() -> None:
         "hot_utt_per_sec_total": round(rate, 2),
         "dispatch_floor_ms": round(floor * 1e3, 1),
         "amortize_steps": K,
-        "hot_step_ms_amortized": round(hot_step_s * 1e3, 2),
-        "device_only_utt_per_sec": round(device_rate, 2),
+        "hot_step_ms_amortized": (
+            round(hot_step_s * 1e3, 2) if hot_step_s else None
+        ),
+        "device_only_utt_per_sec": (
+            round(device_rate, 2) if device_rate else None
+        ),
     }
     extra.update(scaled_extra)
     if cold_rate is not None:

@@ -46,8 +46,18 @@ def sniff_container(head: bytes) -> Optional[str]:
         return "FLAC"
     if head[:4] == b"OggS":
         return "Ogg (Vorbis/Opus/FLAC)"
-    if head[:3] == b"ID3" or (
-        len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0
+    if head[:3] == b"ID3":
+        return "MP3"
+    if (
+        len(head) >= 3 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0
+        # A bare MPEG frame sync is only 11 bits — any binary starting
+        # 0xFF 0xE0+ would match (e.g. a headerless PCM dump whose first
+        # sample is a moderate negative int16). Require the rest of the
+        # frame header to be valid too: layer bits != reserved(00),
+        # bitrate nibble != invalid(0xF), sample-rate bits != reserved.
+        and (head[1] >> 1) & 0x3 != 0
+        and (head[2] >> 4) != 0xF
+        and (head[2] >> 2) & 0x3 != 0x3
     ):
         return "MP3"
     if head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):

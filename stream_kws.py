@@ -288,6 +288,11 @@ def main() -> None:
     n_streams = audio.shape[0]
 
     mesh = None if args.single_device else meshlib.auto_mesh()
+    import jax
+
+    # Process 0 owns every informational print (errors still fail loudly
+    # on all processes); the SPMD serve loops gate theirs the same way.
+    pid0 = jax.process_index() == 0
     if args.pool:
         # Multi-host pool serving is SPMD: every process runs the SAME
         # admit/step/finish sequence (the file walk is deterministic and
@@ -325,10 +330,11 @@ def main() -> None:
         # exists to prevent.
         cp = bundle.continuous_params or {}
         if cp.get("chunk_len") and cp["chunk_len"] != chunk_len:
-            print(
-                f"note: using the bundle's calibrated chunk length "
-                f"({cp['chunk_len']} samples) instead of --chunk-ms."
-            )
+            if pid0:
+                print(
+                    f"note: using the bundle's calibrated chunk length "
+                    f"({cp['chunk_len']} samples) instead of --chunk-ms."
+                )
             chunk_len = int(cp["chunk_len"])
     n_chunks = audio.shape[1] // chunk_len
     if n_chunks == 0:
@@ -338,7 +344,7 @@ def main() -> None:
         )
         sys.exit(1)
     dropped = audio.shape[1] - n_chunks * chunk_len
-    if dropped:
+    if dropped and pid0:
         print(
             f"note: chunk length {chunk_len} does not divide the "
             f"{audio.shape[1]}-sample window — the last {dropped} samples "
@@ -375,17 +381,15 @@ def main() -> None:
     # same contract tests/test_multihost.py pins for the engines). Every
     # process loads the same WAV list, so the local rows are a slice of
     # the global batch; single-host this is the whole batch.
-    import jax
-
     _n_local = meshlib.local_stream_rows(n_streams, mesh)
     _lo = jax.process_index() * _n_local
     _hi = _lo + _n_local
-    if args.pool:
+    if pid0 and args.pool:
         print(f"Serving {n_real} sessions over {n_streams} pool slots "
               f"in {mode} mode ({served_ms} ms chunks, {n_chunks} chunks "
               f"per session"
               f"{', mesh x' + str(mesh.shape[meshlib.DATA_AXIS]) if mesh else ''})")
-    else:
+    elif pid0:
         print(f"Serving {n_real} streams in {mode} mode "
               f"({served_ms} ms chunks, {n_chunks} chunks"
               f"{', mesh x' + str(mesh.shape[meshlib.DATA_AXIS]) if mesh else ''})")
@@ -397,7 +401,8 @@ def main() -> None:
         except (FileNotFoundError, ValueError) as e:
             print(f"Error restoring state: {e}", file=sys.stderr)
             sys.exit(1)
-        print(f"Stream state restored from '{args.restore_state}'")
+        if pid0:
+            print(f"Stream state restored from '{args.restore_state}'")
     if mode == "continuous" and not args.restore_state and not args.pool:
         # Continuous mode is calibrated for ALWAYS-ON streams (carried
         # state); a file-per-stream demo starts cold, so pre-roll each
@@ -483,7 +488,7 @@ def main() -> None:
                     "NaN/Inf on this hop"
                 )
             preds = np.argmax(logits[:n_real], axis=-1)
-        if args.per_chunk:
+        if args.per_chunk and pid0:
             head = " ".join(names[p] for p in preds[:8])
             print(f"  chunk {c + 1:3d}/{n_chunks}: {head}"
                   f"{' ...' if n_real > 8 else ''}")

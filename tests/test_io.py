@@ -69,9 +69,17 @@ def test_unsupported_container_is_named_loudly(tmp_path):
             wav.decode_wav(head)
         with pytest.raises(wav.WavError, match="ffmpeg"):
             wav.decode_wav(head)
-    # An unrecognized head keeps the generic message.
-    with pytest.raises(wav.WavError, match="not a RIFF/WAVE file"):
-        wav.decode_wav(bytes(44))
+    # An unrecognized head keeps the generic message — including bytes
+    # that match the 11-bit MPEG frame sync but fail the rest of the
+    # frame-header validity checks (e.g. a headerless PCM dump whose
+    # first int16 sample is 0xFFFF, or reserved layer bits): those must
+    # NOT be confidently mislabeled as MP3.
+    for head in (bytes(44),
+                 b"\xff\xff\xff\xff" + bytes(40),   # bitrate nibble 0xF
+                 b"\xff\xe1\x00\x00" + bytes(40),   # layer bits reserved
+                 b"\xff\xfb\x0c\x00" + bytes(40)):  # sample-rate reserved
+        with pytest.raises(wav.WavError, match="not a RIFF/WAVE file"):
+            wav.decode_wav(head)
     # Batch loaders collect the same message per file instead of raising.
     flac = tmp_path / "song.flac"
     flac.write_bytes(b"fLaC" + bytes(60))
