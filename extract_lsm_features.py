@@ -48,14 +48,14 @@ def main() -> None:
                         choices=["ridge", "logistic"],
                         help="With --streaming-fit: 'ridge' is the "
                              "closed-form O(D^2)-state fit (no corpus "
-                             "residency anywhere, multi-host capable); "
-                             "'logistic' is the REFERENCE readout "
-                             "(multinomial LBFGS, train_classifier.py:36-41) "
-                             "at corpus scale — streamed features are held "
-                             "in device HBM (~0.8 GB per 100k utts at "
-                             "2000-d), host memory stays flat, and "
-                             "predictions match the in-memory fit on the "
-                             "same split.")
+                             "residency anywhere); 'logistic' is the "
+                             "REFERENCE readout (multinomial LBFGS, "
+                             "train_classifier.py:36-41) at corpus scale "
+                             "— streamed features are held in device HBM "
+                             "(~0.8 GB per 100k utts at 2000-d, sharded "
+                             "over the mesh data axis incl. multi-host), "
+                             "host memory stays flat, and predictions "
+                             "match the in-memory fit on the same split.")
     parser.add_argument("--l2-c", type=float, default=1.0,
                         help="With --readout logistic: inverse L2 strength "
                              "C (the reference LogisticRegression default "

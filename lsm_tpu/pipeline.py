@@ -818,18 +818,16 @@ def extract_and_train_streaming(
     Under a mesh, feature batches shard over the data axis and the
     accumulator updates reduce into replicated state via XLA all-reduces
     (the streaming analogue of fit_ridge_dp's psums); the logistic buffer
-    shards over the data axis too (single-process meshes — multi-host
-    corpus training uses ridge)."""
+    shards over the data axis too. Multi-process (DCN) meshes follow the
+    SPMD batch-pipeline contract — every process iterates the same shards
+    and issues the same device calls; the buffer writes and the LBFGS fit
+    are collective programs over the global buffer, and only each
+    process's addressable shard lives in its HBM (pinned against a
+    single-process oracle in tests/test_multihost.py)."""
     mesh = _resolve_mesh(mesh)
     if readout not in ("ridge", "logistic"):
         raise ValueError(f"readout must be 'ridge' or 'logistic', got "
                          f"{readout!r}")
-    if readout == "logistic" and jax.process_count() > 1:
-        raise ValueError(
-            "streaming readout='logistic' holds the feature buffer on the "
-            "local devices; on a multi-process mesh use readout='ridge' "
-            "(O(D^2) replicated state)"
-        )
     names = list(class_names or cfg.commands)
     k = len(names)
     labels_all = np.asarray(source.labels())

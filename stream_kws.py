@@ -49,27 +49,36 @@ def _to_wire(chunk: np.ndarray, wire: str) -> np.ndarray:
     return chunk
 
 
-def _serve_pool(args, pool, audio, chunk_len, n_chunks, names, metrics,
-                checkpoint):
+def _serve_pool(args, pool, files, fcfg, chunk_len, n_chunks, names,
+                metrics, checkpoint):
     """Session-churn serving loop over a StreamPool: WAV i is session i,
     admitted FIFO when a slot frees, fed its own chunks at its own pace,
-    finished (slot recycled) after its last chunk. Only the connected
-    sessions' rows cross H2D each hop (step_active under the hood);
-    decisions come from the compact egress. Returns (preds, margins,
-    checkpointed-on-final-hop) with one decision per session — in exact
-    mode bit-equal to the static one-slot-per-file run (per-slot state
-    depends only on that session's own audio since its admit reset;
-    pinned in tests/test_stream_cli.py). Multi-host: every process runs
-    this identical loop (SPMD collectives under the hood); process 0
+    finished (slot recycled) after its last chunk. Audio loads LAZILY at
+    admit time and is dropped at finish, so host memory is O(slot
+    capacity), not O(corpus) — an always-on fleet never holds the whole
+    data dir resident; a decode failure skips that session (served=False),
+    mirroring static mode's skip-on-error. Only the connected sessions'
+    rows cross H2D each hop (step_active under the hood); decisions come
+    from the compact egress. Returns (preds, margins,
+    checkpointed-on-final-hop, served-mask) with one decision per served
+    session — in exact mode bit-equal to the static one-slot-per-file
+    run (per-slot state depends only on that session's own audio since
+    its admit reset; pinned in tests/test_stream_cli.py). Multi-host:
+    every process runs this identical loop (the file walk and decode are
+    deterministic, so the SPMD admit/skip decisions agree); process 0
     prints."""
     from collections import deque
 
     import jax as _jax
 
+    from lsm_tpu.io.wav import load_audio_batch
+
     pid0 = _jax.process_index() == 0
-    n_sessions = audio.shape[0]
+    n_sessions = len(files)
     queue = deque(range(n_sessions))
     active: dict = {}  # session id -> next chunk index to feed
+    cache: dict = {}   # session id -> its decoded (window,) f32 audio
+    served = np.zeros(n_sessions, bool)
     preds = np.full(n_sessions, -1, np.int32)
     margins = np.zeros(n_sessions, np.float32)
     hop = 0
@@ -77,14 +86,25 @@ def _serve_pool(args, pool, audio, chunk_len, n_chunks, names, metrics,
     while queue or active:
         while queue and pool.n_active < pool.capacity:
             sid = queue.popleft()
+            row, kept, errors = load_audio_batch(
+                [files[sid]], fcfg.sample_rate, fcfg.duration
+            )
+            if not kept:
+                for path, err in errors:
+                    print(f"Error loading {path}: {err}", file=sys.stderr)
+                continue
+            cache[sid] = row[0]
+            served[sid] = True
             pool.admit(sid)
             active[sid] = 0
             if args.per_chunk and pid0:
                 print(f"  hop {hop + 1:4d}: admit session {sid} -> "
                       f"slot {pool.slot_of(sid)}")
         sids = sorted(active)
+        if not sids:
+            continue    # every queued session failed to decode this round
         rows = _to_wire(np.stack([
-            audio[s, active[s] * chunk_len:(active[s] + 1) * chunk_len]
+            cache[s][active[s] * chunk_len:(active[s] + 1) * chunk_len]
             for s in sids
         ]), args.wire)
         res = pool.step(dict(zip(sids, rows)))
@@ -103,6 +123,7 @@ def _serve_pool(args, pool, audio, chunk_len, n_chunks, names, metrics,
                 preds[s], margins[s] = res[s]
                 pool.finish(s)
                 del active[s]
+                del cache[s]    # O(slot-capacity) residency: drop at finish
                 if args.per_chunk and pid0:
                     print(f"  hop {hop:4d}: finish session {s} -> "
                           f"{names[preds[s]]}")
@@ -121,9 +142,9 @@ def _serve_pool(args, pool, audio, chunk_len, n_chunks, names, metrics,
                              round(rep.avg_participation, 2),
                              regime=rep.regime, scope=rep.scope, chunk=hop)
     if metrics:
-        metrics.emit("serving_pool_sessions", n_sessions,
+        metrics.emit("serving_pool_sessions", int(served.sum()),
                      slots=pool.capacity, hops=hop)
-    return preds, margins, ckpt_hop == hop
+    return preds, margins, ckpt_hop == hop, served
 
 
 def main() -> None:
@@ -171,13 +192,11 @@ def main() -> None:
                              "exact mode they are bit-equal to the static "
                              "run's. Continuous-mode sessions start COLD "
                              "(~1 s warmup by design — real deployments "
-                             "keep sessions long-lived). Memory note: "
-                             "pool mode decodes EVERY WAV under "
-                             "--data-dir into one host f32 array up "
-                             "front (sessions x window samples, ~64 KB "
-                             "per 1 s file) — cap the corpus dir on a "
-                             "low-RAM host; static mode loads at most "
-                             "--max-streams files.")
+                             "keep sessions long-lived). Sessions decode "
+                             "lazily at admit and are dropped at finish, "
+                             "so host memory is O(--max-streams), not "
+                             "O(corpus) — any size data dir serves on a "
+                             "low-RAM host.")
     parser.add_argument("--single-device", action="store_true")
     parser.add_argument("--save-state", type=str, default=None,
                         help="After serving, snapshot ALL cross-chunk "
@@ -279,13 +298,20 @@ def main() -> None:
     if not files:
         print(f"Error: no WAVs under '{args.data_dir}'.", file=sys.stderr)
         sys.exit(1)
-    audio, kept, errors = load_audio_batch(
-        files, fcfg.sample_rate, fcfg.duration
-    )
-    for path, err in errors:
-        print(f"Error loading {path}: {err}", file=sys.stderr)
-    files = [files[i] for i in kept]
-    n_streams = audio.shape[0]
+    if args.pool:
+        # Sessions decode LAZILY at admit time inside _serve_pool (host
+        # memory O(slot capacity), not O(corpus)); decode failures skip
+        # that session there, mirroring the skip-on-error below.
+        audio = None
+        n_streams = len(files)
+    else:
+        audio, kept, errors = load_audio_batch(
+            files, fcfg.sample_rate, fcfg.duration
+        )
+        for path, err in errors:
+            print(f"Error loading {path}: {err}", file=sys.stderr)
+        files = [files[i] for i in kept]
+        n_streams = audio.shape[0]
 
     mesh = None if args.single_device else meshlib.auto_mesh()
     import jax
@@ -336,18 +362,21 @@ def main() -> None:
                     f"({cp['chunk_len']} samples) instead of --chunk-ms."
                 )
             chunk_len = int(cp["chunk_len"])
-    n_chunks = audio.shape[1] // chunk_len
+    # Analysis window per session: load_audio_batch pads/truncates every
+    # file to exactly this many samples (the lazy pool loads do too).
+    window = int(fcfg.sample_rate * fcfg.duration)
+    n_chunks = window // chunk_len
     if n_chunks == 0:
         print(
             f"Error: chunk length {chunk_len} samples exceeds the "
-            f"{audio.shape[1]}-sample analysis window.", file=sys.stderr,
+            f"{window}-sample analysis window.", file=sys.stderr,
         )
         sys.exit(1)
-    dropped = audio.shape[1] - n_chunks * chunk_len
+    dropped = window - n_chunks * chunk_len
     if dropped and pid0:
         print(
             f"note: chunk length {chunk_len} does not divide the "
-            f"{audio.shape[1]}-sample window — the last {dropped} samples "
+            f"{window}-sample window — the last {dropped} samples "
             "of every file are not served (pick a dividing --chunk-ms to "
             "cover the full utterance)."
         )
@@ -456,10 +485,16 @@ def main() -> None:
     preds = margins = logits = None
     last_ckpt_chunk = -1
     if args.pool:
-        preds, margins, ckpt_on_last = _serve_pool(
-            args, pool, np.asarray(audio), chunk_len, n_chunks, names,
+        preds, margins, ckpt_on_last, served = _serve_pool(
+            args, pool, files, fcfg, chunk_len, n_chunks, names,
             metrics, _checkpoint,
         )
+        # Output rows cover only the served (decodable) sessions — the
+        # same contract as static mode's upfront skip-on-error filter.
+        files = [f for f, ok in zip(files, served) if ok]
+        preds = preds[served]
+        margins = margins[served]
+        n_real = len(files)
         # Reuse the static path's skip-duplicate-final-checkpoint logic.
         last_ckpt_chunk = n_chunks - 1 if ckpt_on_last else -1
     for c in range(0 if args.pool else n_chunks):

@@ -86,6 +86,33 @@ WORKER = textwrap.dedent(
         feats_full, labels_global, num_classes=3, mesh=mesh
     )
 
+    # --- Corpus-scale streaming fit across the 2 processes ---------------
+    # extract_and_train_streaming follows the SPMD batch contract (every
+    # process iterates the same shards); readout='logistic' additionally
+    # holds the streamed feature rows in a GLOBAL data-axis-sharded HBM
+    # buffer (each process stores only its addressable shard) and runs
+    # the LBFGS fit as one collective program. Round 5: this lifted the
+    # former single-process restriction — the oracle below pins the
+    # 2-process fit against an unsharded single-process run.
+    from lsm_tpu import pipeline as _pipeline
+    from lsm_tpu.config import FrontendConfig, PipelineConfig
+    from lsm_tpu.io.sharded import ShardedSpikeDataset
+
+    sf_cfg = PipelineConfig(
+        reservoir=ReservoirConfig(
+            num_neurons=128, num_output_neurons=64, small_world_k=26,
+            mean_weight=0.03,
+        ),
+        frontend=FrontendConfig(n_filters=16),
+        commands=("a", "b", "c"),
+        batch_size=16,
+    )
+    sf = _pipeline.extract_and_train_streaming(
+        sf_cfg, ShardedSpikeDataset(sys.argv[2]),
+        class_names=["a", "b", "c"], run_diagnostics=False, mesh=mesh,
+        readout="logistic", l2_c=1.0, max_iter=60,
+    )
+
     # --- Continuous streaming serving across the 2-process mesh ---------
     # Each process feeds its PROCESS-LOCAL stream rows (4 of 8); logits
     # all-gather back replicated. Round 4: the engines' state/weight
@@ -208,6 +235,9 @@ WORKER = textwrap.dedent(
     if pid == 0:
         np.savez(
             sys.argv[1],
+            sf_acc=sf.accuracy,
+            sf_w=np.asarray(sf.readout.w),
+            sf_b=np.asarray(sf.readout.b),
             feats=feats_full,
             w=np.asarray(ridge.w), b=np.asarray(ridge.b),
             stream_logits=np.asarray(logits_stream),
@@ -240,11 +270,33 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _write_streamfit_corpus(root) -> np.ndarray:
+    """Class-separable sharded spike corpus for the cross-process
+    streaming-fit case (class c fires hot in channel block c). Returns
+    the labels; the shards are deterministic, so the workers and the
+    single-process oracle read identical bytes."""
+    from lsm_tpu.io.sharded import ShardedSpikeDatasetWriter
+
+    rng = np.random.default_rng(7)
+    n = 96
+    labels = (np.arange(n) % 3).astype(np.int32)
+    rates = np.full((n, 16, 400), 0.03)
+    for i, c in enumerate(labels):
+        rates[i, c * 5:(c + 1) * 5] = 0.25
+    spikes = (rng.random((n, 16, 400)) < rates).astype(np.uint8)
+    w = ShardedSpikeDatasetWriter(root, shard_size=24, compress=False)
+    w.append(spikes, labels, np.arange(n))
+    w.close()
+    return labels
+
+
 def test_two_process_dp_matches_single_process(tmp_path):
     port = _free_port()
     out = tmp_path / "proc0.npz"
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
+    sf_corpus = tmp_path / "sf_shards"
+    _write_streamfit_corpus(sf_corpus)
 
     env_base = {
         **os.environ,
@@ -255,13 +307,13 @@ def test_two_process_dp_matches_single_process(tmp_path):
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(out)],
+            [sys.executable, str(script), str(out), str(sf_corpus)],
             env={**env_base, "LSM_TPU_PROCESS_ID": str(i)},
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(2)
     ]
-    logs = [p.communicate(timeout=300)[0] for p in procs]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{logs[i]}"
     assert out.exists(), logs[0]
@@ -306,6 +358,40 @@ def test_two_process_dp_matches_single_process(tmp_path):
     # The separable construction must actually be learned (sanity that the
     # cross-process fit did real work, not just agreed on garbage).
     assert (logits_ref.argmax(axis=1) == labels).mean() == 1.0
+
+    # Cross-process streamed logistic (feature buffer sharded over the
+    # 2 processes, collective LBFGS) must match the unsharded
+    # single-process fit on the same shards: same accuracy, same
+    # decision function (weight tolerance covers reduction order).
+    from lsm_tpu import pipeline as _pipeline
+    from lsm_tpu.config import FrontendConfig as _FC, PipelineConfig
+    from lsm_tpu.io.sharded import ShardedSpikeDataset
+
+    sf_cfg = PipelineConfig(
+        reservoir=ReservoirConfig(
+            num_neurons=128, num_output_neurons=64, small_world_k=26,
+            mean_weight=0.03,
+        ),
+        frontend=_FC(n_filters=16),
+        commands=("a", "b", "c"),
+        batch_size=16,
+    )
+    sf_ref = _pipeline.extract_and_train_streaming(
+        sf_cfg, ShardedSpikeDataset(tmp_path / "sf_shards"),
+        class_names=["a", "b", "c"], run_diagnostics=False, mesh=None,
+        readout="logistic", l2_c=1.0, max_iter=60,
+    )
+    assert float(got["sf_acc"]) == pytest.approx(sf_ref.accuracy, abs=1e-6)
+    # The separable construction must actually be learned.
+    assert sf_ref.accuracy == 1.0
+    np.testing.assert_allclose(
+        got["sf_w"], np.asarray(sf_ref.readout.w), rtol=5e-2, atol=1e-3,
+        err_msg="cross-process streamed logistic weights diverged",
+    )
+    np.testing.assert_allclose(
+        got["sf_b"], np.asarray(sf_ref.readout.b), rtol=5e-2, atol=1e-3,
+        err_msg="cross-process streamed logistic bias diverged",
+    )
 
     # Continuous streaming across the 2-process mesh must match a
     # single-process ContinuousKWS on the same audio (same seeds ->

@@ -177,6 +177,28 @@ def test_stream_kws_cli_end_to_end(tmp_path):
     pm = read_snapshot_meta(tmp_path / "pool_state.npz")["pool"]
     assert sorted(int(i) for i in pm["free"]) == list(range(8))
     assert pm["sessions"] == []  # every session finished before the save
+    # Lazy admit-time decode (round 5): pool sessions load at admit, so
+    # a corrupt WAV is discovered mid-serve — it must be skipped (loud
+    # stderr, no output row) while every good session's decision stays
+    # bit-equal; host residency is O(slots) by construction.
+    bad = sorted(corpus.rglob("*.wav"))[-1].parent / "zzz_corrupt.wav"
+    bad.write_bytes(b"fLaC" + b"\x00" * 64)
+    r = _run(
+        [str(REPO / "stream_kws.py"), "--model", "m.npz",
+         "--data-dir", str(corpus), "--single-device", "--pool",
+         "--max-streams", "8", "--wire", "ulaw",
+         "--output", "pool_bad.npz"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "unsupported audio container: FLAC" in r.stderr
+    pb = np.load(tmp_path / "pool_bad.npz", allow_pickle=False)
+    assert str(bad) not in set(pb["files"].tolist())
+    by_file = dict(zip(pb["files"].tolist(), pb["predictions"].tolist()))
+    for f, p in zip(pw["files"].tolist(), pw["predictions"].tolist()):
+        assert by_file[f] == p, f"lazy-pool decision changed for {f}"
+    bad.unlink()
+
     # Guards: pool mode is a fresh-session replay harness.
     r = _run(
         [str(REPO / "stream_kws.py"), "--model", "m.npz",
